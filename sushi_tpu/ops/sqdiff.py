@@ -1,0 +1,226 @@
+"""Batched 1-D TM_SQDIFF_NORMED template matching on TPU.
+
+This replaces the reference's entire native matching engine — sequential
+``cv2.matchTemplate(window, pattern, cv2.TM_SQDIFF_NORMED)`` + ``argmin``
+calls (/root/reference/wav.py:177-188) — with one fixed-shape batched
+XLA computation:
+
+* **coarse pass**: normalized SSD for every lag of every request via FFT
+  cross-correlation.  With pattern T, window S, lag u::
+
+      ssd(u)   = ||T||^2 - 2*(S ⋆ T)(u) + E(u),   E(u) = sum_{i<|T|} S[u+i]^2
+      score(u) = ssd(u) / sqrt(||T||^2 * E(u))
+
+  The correlation and the sliding window energy are both O(n log n) FFTs
+  (the energy kernel is a boxcar whose DFT has a closed form, so it costs
+  no extra FFT).
+
+* **exact pass**: the coarse scores carry ~1e-6-relative FFT noise, which
+  can flip near-tie argmins.  We take the top-K coarse candidates and
+  re-score them directly as sum((T - S_u)^2) — an all-non-negative sum
+  with no cancellation — then pick the minimum with cv2's first-lag
+  tie-breaking.
+
+OpenCV semantics reproduced (verified empirically against cv2):
+
+* scores are clamped to 1.0 whenever numerator >= denominator (including
+  zero-energy windows/patterns, where cv2 emits exactly 1.0);
+* ``argmin`` takes the first minimal lag;
+* uint8 input behaves identically to float input scaled by 1/255 (the
+  score is scale-invariant), so streams live on device as float32/255.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_LANES = 128  # TPU vector lane count; batch/shape padding granularity
+
+
+# ---------------------------------------------------------------------------
+# Reference oracle (host, float64) — the ground truth for parity tests.
+
+
+def oracle_sqdiff_normed(pattern: np.ndarray, window: np.ndarray) -> np.ndarray:
+    """Direct O(lags * |T|) normalized SSD in float64, cv2 conventions."""
+    pattern = np.asarray(pattern, np.float64)
+    window = np.asarray(window, np.float64)
+    lp, lw = len(pattern), len(window)
+    if lw - lp + 1 <= 0:
+        raise ValueError("window shorter than pattern")
+    pat_energy = float(np.dot(pattern, pattern))
+    corr = np.correlate(window, pattern, mode="valid")
+    cumsq = np.concatenate([[0.0], np.cumsum(window * window)])
+    energy = cumsq[lp:] - cumsq[: lw - lp + 1]
+    num = pat_energy - 2.0 * corr + energy
+    den = np.sqrt(pat_energy * energy)
+    return np.where(num < den, num / np.where(den > 0, den, 1.0), 1.0)
+
+
+def oracle_match(pattern: np.ndarray, window: np.ndarray) -> Tuple[float, int]:
+    scores = oracle_sqdiff_normed(pattern, window)
+    idx = int(scores.argmin())
+    return float(scores[idx]), idx
+
+
+# ---------------------------------------------------------------------------
+# Device kernel.
+
+
+def _boxcar_rfft(lengths: jnp.ndarray, fft_size: int) -> jnp.ndarray:
+    """rfft of a left-aligned boxcar of the given length, analytically.
+
+    DFT of ones[0:L) at bin k is ``exp(-i*pi*k*(L-1)/n) * sin(pi*k*L/n) /
+    sin(pi*k/n)`` (geometric series); bin 0 is L.
+    """
+    bins = fft_size // 2 + 1
+    k = jnp.arange(bins, dtype=jnp.float32)[None, :]
+    length = lengths.astype(jnp.float32)[:, None]
+    angle_num = jnp.pi * k * length / fft_size
+    angle_den = jnp.pi * k / fft_size
+    # sin(pi*k/n) == 0 only at k == 0 for k < bins <= n/2+1
+    ratio = jnp.where(k == 0, length, jnp.sin(angle_num) / jnp.where(k == 0, 1.0, jnp.sin(angle_den)))
+    phase = -angle_num + angle_den  # == -pi*k*(L-1)/n
+    return (ratio * jnp.exp(1j * phase.astype(jnp.complex64))).astype(jnp.complex64)
+
+
+def _masked_rows(rows: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+    positions = jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1)
+    return jnp.where(positions < lengths[:, None], rows, 0.0)
+
+
+def coarse_scores(
+    patterns: jnp.ndarray,
+    pat_lens: jnp.ndarray,
+    windows: jnp.ndarray,
+    win_lens: jnp.ndarray,
+    fft_size: int,
+) -> jnp.ndarray:
+    """Unclamped normalized-SSD scores for all lags of a padded batch.
+
+    patterns/windows: [B, n] float32, zero-padded beyond their lengths.
+    Returns [B, n] scores; lags past ``win_len - pat_len`` hold +2.0
+    (worse than any valid score can be after clamping).
+    """
+    pat_f = jnp.fft.rfft(patterns, n=fft_size)
+    win_f = jnp.fft.rfft(windows, n=fft_size)
+    corr = jnp.fft.irfft(win_f * jnp.conj(pat_f), n=fft_size)
+
+    win_sq_f = jnp.fft.rfft(windows * windows, n=fft_size)
+    energy = jnp.fft.irfft(win_sq_f * jnp.conj(_boxcar_rfft(pat_lens, fft_size)), n=fft_size)
+    energy = jnp.maximum(energy, 0.0)
+
+    pat_energy = jnp.sum(patterns * patterns, axis=1, keepdims=True)
+    num = jnp.maximum(pat_energy - 2.0 * corr + energy, 0.0)
+    den = jnp.sqrt(pat_energy * energy)
+    scores = jnp.where(den > 0.0, num / jnp.where(den > 0.0, den, 1.0), 2.0)
+
+    lag_count = (win_lens - pat_lens + 1)[:, None]
+    positions = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    return jnp.where(positions < lag_count, scores, 2.0)
+
+
+def _rescore_candidates(
+    patterns: jnp.ndarray,
+    pat_lens: jnp.ndarray,
+    windows: jnp.ndarray,
+    candidate_lags: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact (num, energy) at K candidate lags per row.
+
+    Computed as direct masked sums — no large-term cancellation, so float32
+    is accurate to ~1e-6 relative regardless of window length.
+    """
+
+    def one_candidate(pattern, pat_len, window, lag):
+        shifted = jnp.roll(window, -lag)  # window[i + lag] for masked i
+        positions = jax.lax.broadcasted_iota(jnp.int32, pattern.shape, 0)
+        mask = positions < pat_len
+        diff = jnp.where(mask, pattern - shifted, 0.0)
+        seg = jnp.where(mask, shifted, 0.0)
+        return jnp.sum(diff * diff), jnp.sum(seg * seg)
+
+    def one_row(pattern, pat_len, window, lags):
+        return jax.vmap(lambda lag: one_candidate(pattern, pat_len, window, lag))(lags)
+
+    return jax.vmap(one_row)(patterns, pat_lens, windows, candidate_lags)
+
+
+def match_padded_batch(
+    patterns: jnp.ndarray,
+    pat_lens: jnp.ndarray,
+    windows: jnp.ndarray,
+    win_lens: jnp.ndarray,
+    fft_size: int,
+    rescore_k: int = 16,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Best (score, lag) per row of a padded batch, cv2-convention.
+
+    Returns ``scores [B] float32`` (clamped to 1.0 like cv2) and
+    ``lags [B] int32`` (first minimal lag; lag 0 when nothing scores
+    below 1.0, matching cv2's argmin over an all-ones row).
+    """
+    coarse = coarse_scores(patterns, pat_lens, windows, win_lens, fft_size)
+    _, candidates = jax.lax.top_k(-coarse, rescore_k)  # ties -> lower lag first
+    candidates = candidates.astype(jnp.int32)
+
+    num, energy = _rescore_candidates(patterns, pat_lens, windows, candidates)
+    pat_energy = jnp.sum(patterns * patterns, axis=1, keepdims=True)
+    den = jnp.sqrt(pat_energy * energy)
+    exact = jnp.where((den > 0.0) & (num < den), num / jnp.where(den > 0.0, den, 1.0), 1.0)
+
+    # invalidate candidates that point past the valid lag range (possible
+    # when fewer than K valid lags exist)
+    lag_count = win_lens - pat_lens + 1
+    valid = candidates < lag_count[:, None]
+    exact = jnp.where(valid, exact, 2.0)
+
+    best = jnp.min(exact, axis=1, keepdims=True)
+    # first-lag tie-break among exact minima
+    tie_lags = jnp.where(exact == best, candidates, jnp.iinfo(jnp.int32).max)
+    best_lag = jnp.min(tie_lags, axis=1)
+    best_score = best[:, 0]
+
+    # cv2: if every valid lag clamps to 1.0, argmin returns lag 0
+    all_clamped = best_score >= 1.0
+    return (
+        jnp.where(all_clamped, 1.0, best_score),
+        jnp.where(all_clamped, 0, best_lag).astype(jnp.int32),
+    )
+
+
+# jitted entry for pre-padded batches (tests, host-assembled requests)
+match_padded = jax.jit(match_padded_batch, static_argnames=("fft_size", "rescore_k"))
+
+
+@functools.partial(jax.jit, static_argnames=("fft_size", "slice_len", "rescore_k"))
+def match_from_streams(
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    pat_starts: jnp.ndarray,
+    pat_lens: jnp.ndarray,
+    win_starts: jnp.ndarray,
+    win_lens: jnp.ndarray,
+    *,
+    fft_size: int,
+    slice_len: int,
+    rescore_k: int = 16,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Gather (pattern, window) slices from device-resident streams and match.
+
+    ``src``/``dst`` must be float32 streams padded at the end by at least
+    ``slice_len`` so the fixed-size gathers never clamp.  All start/length
+    arrays are [B] int32; lengths beyond a slice are masked to zero.
+    """
+
+    def gather(stream, start):
+        return jax.lax.dynamic_slice(stream, (start,), (slice_len,))
+
+    patterns = _masked_rows(jax.vmap(lambda s: gather(src, s))(pat_starts), pat_lens)
+    windows = _masked_rows(jax.vmap(lambda s: gather(dst, s))(win_starts), win_lens)
+    return match_padded_batch(patterns, pat_lens, windows, win_lens, fft_size, rescore_k)

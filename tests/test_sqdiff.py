@@ -1,0 +1,196 @@
+"""Kernel parity: batched FFT SQDIFF_NORMED vs cv2.matchTemplate and a
+float64 direct oracle.  Tolerance contract: argmin within ±1 sample, and
+where argmins differ by 1, the oracle scores at the two lags must be
+near-ties.
+"""
+
+import cv2
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from sushi_tpu.ops.sqdiff import (
+    match_padded,
+    coarse_scores,
+    match_from_streams,
+    match_padded_batch,
+    oracle_match,
+    oracle_sqdiff_normed,
+)
+
+
+def cv2_match(pattern: np.ndarray, window: np.ndarray):
+    scores = cv2.matchTemplate(window.reshape(1, -1), pattern.reshape(1, -1), cv2.TM_SQDIFF_NORMED)[0]
+    return float(scores.min()), int(scores.argmin())
+
+
+def _pad_batch(patterns, windows, n):
+    b = len(patterns)
+    pat = np.zeros((b, n), np.float32)
+    win = np.zeros((b, n), np.float32)
+    pat_lens = np.array([len(p) for p in patterns], np.int32)
+    win_lens = np.array([len(w) for w in windows], np.int32)
+    for i, (p, w) in enumerate(zip(patterns, windows)):
+        pat[i, : len(p)] = p
+        win[i, : len(w)] = w
+    return jnp.asarray(pat), jnp.asarray(pat_lens), jnp.asarray(win), jnp.asarray(win_lens)
+
+
+def assert_matches_oracle(pattern, window, fft_size, atol_score=5e-4):
+    pat, pat_lens, win, win_lens = _pad_batch([pattern], [window], fft_size)
+    score, lag = match_padded(pat, pat_lens, win, win_lens, fft_size=fft_size)
+    score, lag = float(score[0]), int(lag[0])
+
+    oracle_scores = oracle_sqdiff_normed(pattern, window)
+    o_score, o_lag = float(oracle_scores.min()), int(oracle_scores.argmin())
+
+    if lag != o_lag:
+        assert abs(lag - o_lag) <= 1, f"lag {lag} vs oracle {o_lag}"
+        # must be a near-tie for the flip to be acceptable
+        assert abs(oracle_scores[lag] - o_score) < 1e-3
+    assert score == pytest.approx(o_score, abs=atol_score)
+
+
+def test_oracle_agrees_with_cv2():
+    rng = np.random.RandomState(0)
+    for trial in range(10):
+        window = rng.rand(3000).astype(np.float32)
+        start = rng.randint(0, 2500)
+        length = rng.randint(32, 400)
+        pattern = window[start : start + length] + rng.randn(length).astype(np.float32) * 0.01
+        o_scores = oracle_sqdiff_normed(pattern, window)
+        c_scores = cv2.matchTemplate(window.reshape(1, -1), pattern.reshape(1, -1), cv2.TM_SQDIFF_NORMED)[0]
+        assert o_scores.shape == c_scores.shape
+        assert int(o_scores.argmin()) == int(c_scores.argmin())
+        np.testing.assert_allclose(o_scores, c_scores, atol=2e-5)
+
+
+def test_exact_embedded_pattern_found():
+    rng = np.random.RandomState(1)
+    window = rng.rand(8192).astype(np.float32)
+    pattern = window[5000:5600].copy()
+    assert_matches_oracle(pattern, window, fft_size=8192)
+
+
+def test_noisy_embedded_pattern():
+    rng = np.random.RandomState(2)
+    window = rng.rand(16000).astype(np.float32)
+    pattern = np.clip(window[3210:4000] + rng.randn(790).astype(np.float32) * 0.05, 0, 1)
+    assert_matches_oracle(pattern, window, fft_size=16384)
+
+
+def test_uint8_quantized_audio_like():
+    # realistic path: uint8 analysis buffers scaled to [0,1]
+    rng = np.random.RandomState(3)
+    base = (rng.randint(0, 256, 30000).astype(np.float32)) / 255.0
+    window = base
+    pattern = base[12000:13500].copy()
+    assert_matches_oracle(pattern, window, fft_size=32768)
+
+
+def test_batch_of_mixed_lengths_matches_oracle():
+    rng = np.random.RandomState(4)
+    patterns, windows = [], []
+    for i in range(7):
+        w = rng.rand(rng.randint(2000, 12000)).astype(np.float32)
+        start = rng.randint(0, len(w) - 600)
+        length = rng.randint(64, 512)
+        p = np.clip(w[start : start + length] + rng.randn(length).astype(np.float32) * 0.02, 0, 1)
+        patterns.append(p)
+        windows.append(w)
+    n = 16384
+    pat, pat_lens, win, win_lens = _pad_batch(patterns, windows, n)
+    scores, lags = match_padded(pat, pat_lens, win, win_lens, fft_size=n)
+    for i in range(7):
+        o_scores = oracle_sqdiff_normed(patterns[i], windows[i])
+        o_lag = int(o_scores.argmin())
+        lag = int(lags[i])
+        if lag != o_lag:
+            assert abs(lag - o_lag) <= 1
+            assert abs(o_scores[lag] - o_scores.min()) < 1e-3
+        assert float(scores[i]) == pytest.approx(float(o_scores.min()), abs=5e-4)
+
+
+def test_all_mismatch_clamps_to_one_lag_zero():
+    # zero-energy window: cv2 emits 1.0 everywhere; argmin -> lag 0
+    pattern = np.ones(64, np.float32)
+    window = np.zeros(512, np.float32)
+    pat, pat_lens, win, win_lens = _pad_batch([pattern], [window], 1024)
+    score, lag = match_padded(pat, pat_lens, win, win_lens, fft_size=1024)
+    assert float(score[0]) == 1.0
+    assert int(lag[0]) == 0
+    c_scores = cv2.matchTemplate(window.reshape(1, -1), pattern.reshape(1, -1), cv2.TM_SQDIFF_NORMED)[0]
+    assert c_scores.min() == 1.0 and int(c_scores.argmin()) == 0
+
+
+def test_first_min_tie_break():
+    # two identical exact matches; cv2 argmin picks the first
+    pattern = np.array([0.2, 0.9, 0.4, 0.7] * 8, np.float32)
+    window = np.zeros(512, np.float32) + 0.5
+    window[100 : 100 + len(pattern)] = pattern
+    window[300 : 300 + len(pattern)] = pattern
+    _, c_lag = cv2_match(pattern, window)
+    pat, pat_lens, win, win_lens = _pad_batch([pattern], [window], 1024)
+    _, lag = match_padded(pat, pat_lens, win, win_lens, fft_size=1024)
+    assert int(lag[0]) == c_lag == 100
+
+
+def test_coarse_scores_masks_invalid_lags():
+    rng = np.random.RandomState(5)
+    pattern = rng.rand(100).astype(np.float32)
+    window = rng.rand(300).astype(np.float32)
+    pat, pat_lens, win, win_lens = _pad_batch([pattern], [window], 512)
+    scores = np.asarray(coarse_scores(pat, pat_lens, win, win_lens, 512))
+    assert np.all(scores[0, 201:] == 2.0)
+    assert np.all(scores[0, :201] < 2.0)
+
+
+def test_match_from_streams_gather_path():
+    rng = np.random.RandomState(6)
+    n = 4096
+    src = rng.rand(20000).astype(np.float32)
+    dst = np.concatenate([rng.rand(1500).astype(np.float32), src + 0]).astype(np.float32)
+    # pad streams so fixed-size gathers cannot clamp
+    src_dev = jnp.asarray(np.pad(src, (0, n)))
+    dst_dev = jnp.asarray(np.pad(dst, (0, n)))
+    # two requests: patterns at src[3000:3500] and src[9000:9800],
+    # searched in dst windows that contain their shifted location (+1500)
+    pat_starts = jnp.asarray(np.array([3000, 9000], np.int32))
+    pat_lens = jnp.asarray(np.array([500, 800], np.int32))
+    win_starts = jnp.asarray(np.array([3300, 9500], np.int32))
+    win_lens = jnp.asarray(np.array([3000, 3000], np.int32))
+    scores, lags = match_from_streams(
+        src_dev, dst_dev, pat_starts, pat_lens, win_starts, win_lens, fft_size=n, slice_len=n
+    )
+    # expected lag: pattern located at dst[pat_start+1500] => lag = pat_start+1500-win_start
+    assert int(lags[0]) == 3000 + 1500 - 3300
+    assert int(lags[1]) == 9000 + 1500 - 9500
+    assert float(scores[0]) < 1e-4 and float(scores[1]) < 1e-4
+
+
+def test_realistic_audio_episode_slice():
+    # synthetic "episode" slices through the real ingest path
+    from tests.fixtures import synth_episode, write_wav_int16
+    import tempfile, os
+
+    from sushi_tpu.media.stream import AudioStream
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src_path = os.path.join(tmp, "src.wav")
+        audio = synth_episode(20.0, [(2.0, 4.0), (8.0, 9.5), (14.0, 16.0)], seed=11)
+        write_wav_int16(src_path, audio, framerate=48000)
+        stream = AudioStream(src_path, sample_rate=12000, sample_type="uint8")
+
+    data = stream.data.astype(np.float32) / 255.0
+    pattern = data[stream.sample_for_time(8.0) : stream.sample_for_time(9.5)]
+    lo = stream.sample_for_time(5.0)
+    window = data[lo : stream.sample_for_time(12.0)]
+    c_score, c_lag = cv2_match(pattern, window)
+
+    n = 131072
+    pat, pat_lens, win, win_lens = _pad_batch([pattern], [window], n)
+    score, lag = match_padded(pat, pat_lens, win, win_lens, fft_size=n)
+    assert abs(int(lag[0]) - c_lag) <= 1
+    assert float(score[0]) == pytest.approx(c_score, abs=1e-3)
+    # and the found lag equals the true location of the pattern
+    assert int(lag[0]) + lo == stream.sample_for_time(8.0)
