@@ -1,0 +1,223 @@
+#!/usr/bin/env python3
+"""Headline benchmark: sync a 24-minute episode (~350 events).
+
+Compares the full pipeline (WAV ingest + batched TPU shift search) against
+the reference engine measured on this machine: the same state machine
+driven sequentially by cv2.matchTemplate(TM_SQDIFF_NORMED) — i.e. exactly
+the compute the reference performs per /root/reference/wav.py:185 and
+sushi.py:400-508 (the reference itself is Python 2 and cannot run here).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <our sync seconds>, "unit": "s",
+   "vs_baseline": <baseline_seconds / our_seconds>}
+
+Details (fixture timings, per-stage breakdown, shift correctness) go to
+stderr.  Fixture and baseline measurements are cached under /tmp.
+"""
+
+import json
+import os
+import sys
+import time
+
+BENCH_DIR = "/tmp/sushi_tpu_bench_v1"
+EPISODE_SECONDS = 24 * 60
+EVENT_COUNT = 350
+TRUE_SHIFT = 3.417
+
+
+def log(message: str) -> None:
+    print(message, file=sys.stderr, flush=True)
+
+
+def build_fixture():
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tests.fixtures import shift_audio, synth_episode, write_srt, write_wav_int16
+
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    src_wav = os.path.join(BENCH_DIR, "src.wav")
+    dst_wav = os.path.join(BENCH_DIR, "dst.wav")
+    script = os.path.join(BENCH_DIR, "in.srt")
+    if all(os.path.exists(p) for p in (src_wav, dst_wav, script)):
+        return src_wav, dst_wav, script
+
+    log("bench: generating 24-min fixture episode...")
+    started = time.time()
+    rng = np.random.RandomState(2024)
+    events = []
+    cursor = 2.0
+    while len(events) < EVENT_COUNT:
+        duration = 1.0 + rng.rand() * 2.5
+        events.append((cursor, cursor + duration))
+        cursor += duration + 0.5 + rng.rand() * 1.5
+    scale = (EPISODE_SECONDS - 10.0) / cursor
+    events = [(s * scale, e * scale) for s, e in events]
+
+    audio = synth_episode(EPISODE_SECONDS, events, seed=7)
+    dst_audio = shift_audio(audio, TRUE_SHIFT)
+    dst_audio = (dst_audio.astype(np.int32) + rng.randint(-150, 150, len(dst_audio))).astype(np.int16)
+    write_wav_int16(src_wav, audio)
+    write_wav_int16(dst_wav, dst_audio)
+    write_srt(script, [(s, e, "line %d" % i) for i, (s, e) in enumerate(events)])
+    log("bench: fixture built in %.1fs" % (time.time() - started))
+    return src_wav, dst_wav, script
+
+
+class _Args:
+    """Pipeline args with CLI defaults (mirrors cli.create_arg_parser)."""
+
+    window = 10
+    max_window = 30
+    rewind_thresh = 5
+    grouping = True
+    max_kf_distance = 2
+    kf_mode = "all"
+    smooth_radius = 3
+    max_ts_duration = 1001.0 / 24000.0 * 10
+    max_ts_distance = 1001.0 / 24000.0 * 10
+    plot_path = None
+    sample_type = "uint8"
+    sample_rate = 12000
+    src_audio_idx = None
+    src_script_idx = None
+    dst_audio_idx = None
+    cleanup = False
+    temp_dir = None
+    chapters_file = None
+    dst_keyframes = None
+    src_keyframes = None
+    dst_fps = None
+    src_fps = None
+    dst_timecodes = None
+    src_timecodes = None
+    output_script = None
+
+
+def measure_ours(src_wav, dst_wav, script):
+    from sushi_tpu.pipeline import run
+
+    args = _Args()
+    args.source = src_wav
+    args.destination = dst_wav
+    args.script_file = script
+    args.output_script = os.path.join(BENCH_DIR, "out.tpu.srt")
+
+    # warm-up run: compiles kernels (persisted to the XLA compile cache)
+    log("bench: TPU pipeline warm-up run (compiles)...")
+    t0 = time.time()
+    run(args)
+    cold = time.time() - t0
+    log("bench: warm-up run %.2fs" % cold)
+
+    t0 = time.time()
+    run(args)
+    warm = time.time() - t0
+    log("bench: measured TPU pipeline run %.2fs (cold %.2fs)" % (warm, cold))
+    return warm
+
+
+def measure_baseline(src_wav, dst_wav, script):
+    """Reference engine: sequential cv2.matchTemplate through the same
+    state machine and heuristics (measured, cached)."""
+    cache = os.path.join(BENCH_DIR, "baseline.json")
+    if os.path.exists(cache):
+        with open(cache) as handle:
+            return json.load(handle)["seconds"]
+
+    import cv2
+    import numpy as np
+
+    from sushi_tpu.align import machine
+    from sushi_tpu.align.batcher import PatternTable, groups_to_spans, stream_to_f32, window_bounds
+    from sushi_tpu.align.groups import prepare_search_groups
+    from sushi_tpu.media.stream import AudioStream
+    from sushi_tpu.text.subs import SrtScript
+
+    log("bench: measuring cv2 sequential baseline...")
+    t0 = time.time()
+    src_stream = AudioStream(src_wav, 12000, "uint8")
+    dst_stream = AudioStream(dst_wav, 12000, "uint8")
+    doc = SrtScript.from_file(script)
+    doc.sort_by_time()
+    groups = prepare_search_groups(
+        doc.events,
+        source_duration=src_stream.duration_seconds,
+        chapter_times=[],
+        max_ts_duration=_Args.max_ts_duration,
+        max_ts_distance=_Args.max_ts_distance,
+    )
+    spans = groups_to_spans(groups, src_stream)
+    patterns = PatternTable(spans)
+    src_f32 = stream_to_f32(src_stream)
+    dst_f32 = stream_to_f32(dst_stream)
+
+    calls = [0]
+
+    def cv2_find(request):
+        calls[0] += 1
+        pat_start, pat_len = patterns.bounds(request.group_idx, request.part)
+        win_start, win_len, start_time = window_bounds(dst_stream, request, pat_len)
+        pattern = src_f32[pat_start : pat_start + pat_len].reshape(1, -1)
+        window = dst_f32[win_start : win_start + win_len].reshape(1, -1)
+        scores = cv2.matchTemplate(window, pattern, cv2.TM_SQDIFF_NORMED)[0]
+        idx = int(scores.argmin())
+        return float(scores[idx]), start_time + idx / float(dst_stream.sample_rate)
+
+    results = machine.run_search(
+        spans, dst_stream.duration_seconds, dst_stream.sample_rate, cv2_find, 10, 30, 5
+    )
+    machine.apply_group_results(groups, results)
+    for event in doc.events:
+        event.apply_shift()
+    doc.save_to_file(os.path.join(BENCH_DIR, "out.cv2.srt"))
+    seconds = time.time() - t0
+
+    shifts = [r.shift for r in results if r.shift is not None]
+    log(
+        "bench: baseline %.2fs (%d matchTemplate calls, median shift %.4f)"
+        % (seconds, calls[0], float(np.median(shifts)))
+    )
+    with open(cache, "w") as handle:
+        json.dump({"seconds": seconds, "calls": calls[0]}, handle)
+    return seconds
+
+
+def check_output_correctness():
+    from sushi_tpu.text.subs import SrtScript
+
+    ours = SrtScript.from_file(os.path.join(BENCH_DIR, "out.tpu.srt"))
+    base = SrtScript.from_file(os.path.join(BENCH_DIR, "in.srt"))
+    worst = 0.0
+    for shifted, original in zip(ours.events, base.events):
+        worst = max(worst, abs(shifted.start - original.start - TRUE_SHIFT))
+    log("bench: worst per-line shift error vs truth: %.4fs" % worst)
+    return worst
+
+
+def main():
+    import logging
+
+    logging.getLogger().setLevel(logging.ERROR)  # keep stderr usable
+    src_wav, dst_wav, script = build_fixture()
+
+    ours = measure_ours(src_wav, dst_wav, script)
+    worst = check_output_correctness()
+    baseline = measure_baseline(src_wav, dst_wav, script)
+
+    result = {
+        "metric": "24min episode sync wall-clock (350 events, lower is better; "
+        "vs_baseline = cv2-sequential speedup)",
+        "value": round(ours, 3),
+        "unit": "s",
+        "vs_baseline": round(baseline / ours, 2),
+        "events_per_second": round(EVENT_COUNT / ours, 1),
+        "baseline_seconds": round(baseline, 3),
+        "worst_line_error_seconds": round(worst, 4),
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

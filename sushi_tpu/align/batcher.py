@@ -1,0 +1,373 @@
+"""Batched execution of the shift-search state machine.
+
+The reference's search loop is sequentially dependent: each group's window
+centers on the previous committed shift (/root/reference/sushi.py:420-460),
+so it issues ~1e3 tiny matchTemplate calls one at a time.  We keep its
+decisions bit-exact but execute on TPU in a handful of large batches via
+**speculative replay**:
+
+1. replay the (deterministic) state machine against a memo of real results;
+2. on a memo miss, record the request and answer with a self-fulfilling
+   prediction ("pattern found exactly at the search center", i.e. the
+   shift chain continues unchanged) so the replay keeps generating the
+   requests the real run would need if the chain stays constant;
+3. execute all recorded requests as bucketed device batches, fill the memo,
+   and replay again.
+
+A replay with zero misses used only real kernel results, so its output is
+identical to running the reference loop sequentially.  Each round resolves
+at least the first miss, and because shift chains are piecewise constant,
+typical episodes converge in ~4 rounds (a handful of device dispatches
+instead of thousands).
+
+Requests are bucketed by FFT size (next power of two covering the window)
+and padded to a few batch-size buckets so the jitted kernel compiles a
+small, reusable set of shapes.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from sushi_tpu.align import machine
+from sushi_tpu.align.machine import FULL, LEFT, RIGHT, GroupSpan, GroupResult, SearchRequest
+from sushi_tpu.errors import SushiError
+from sushi_tpu.media.stream import PADDING_SECONDS, AudioStream
+from sushi_tpu.ops import sqdiff
+
+_log = logging.getLogger("sushi_tpu")
+
+_MIN_FFT = 1 << 12
+_MAX_FFT = 1 << 22
+_BATCH_BUCKETS = (1, 8, 32, 128)
+# cap on B*n elements per device call to bound working-set memory
+_MAX_BATCH_ELEMENTS = 1 << 26
+
+
+def _clip(value: float, lo: float, hi: float) -> float:
+    return max(min(value, hi), lo)
+
+
+def _next_pow2(value: int) -> int:
+    return 1 << max(0, int(value - 1).bit_length())
+
+
+def window_bounds(
+    dst: AudioStream, request: SearchRequest, pat_len: int
+) -> Tuple[int, int, float]:
+    """Destination window sample range for a request, with the reference's
+    clipping/truncation arithmetic (/root/reference/wav.py:177-183)."""
+    start_time = _clip(request.center - request.window, -PADDING_SECONDS, dst.duration_seconds)
+    end_time = _clip(request.center + request.window, 0, dst.duration_seconds + PADDING_SECONDS)
+    start_sample = dst.sample_for_time(start_time)
+    end_sample = dst.sample_for_time(end_time) + pat_len
+    return start_sample, end_sample - start_sample, start_time
+
+
+def stream_to_f32(stream: AudioStream) -> np.ndarray:
+    """Analysis buffer as float32; uint8 buffers scale to [0, 1] (the
+    SQDIFF_NORMED score is scale-invariant, verified against cv2)."""
+    if stream.data.dtype == np.uint8:
+        return stream.data.astype(np.float32) / np.float32(255.0)
+    return stream.data.astype(np.float32)
+
+
+class PatternTable:
+    """Sample ranges of every group's full/left/right pattern in the src buffer."""
+
+    def __init__(self, groups: Sequence[GroupSpan]):
+        self._groups = groups
+
+    def bounds(self, group_idx: int, part: int) -> Tuple[int, int]:
+        group = self._groups[group_idx]
+        half = group.pat_len // 2
+        if part == FULL:
+            return group.pat_start, group.pat_len
+        if part == LEFT:
+            return group.pat_start, half
+        if part == RIGHT:
+            return group.pat_start + half, group.pat_len - half
+        raise ValueError(part)
+
+
+class DeviceMatcher:
+    """Executes search requests as bucketed batched kernel calls."""
+
+    def __init__(
+        self,
+        src_stream: AudioStream,
+        dst_stream: AudioStream,
+        groups: Sequence[GroupSpan],
+        rescore_k: int = 16,
+        max_batch_elements: int = _MAX_BATCH_ELEMENTS,
+    ):
+        from sushi_tpu.utils.compile_cache import enable as enable_compile_cache
+
+        enable_compile_cache()
+        import jax.numpy as jnp  # deferred so host-only paths never init a backend
+
+        self._jnp = jnp
+        self._dst = dst_stream
+        self._patterns = PatternTable(groups)
+        self._rescore_k = rescore_k
+        self._max_batch_elements = max_batch_elements
+        # upload once in the native dtype (uint8 stays uint8 — 4x less
+        # transfer; the kernel converts after gathering), padded by the
+        # largest slice any bucket can gather
+        self._src_dev = jnp.asarray(np.pad(src_stream.data, (0, _MAX_FFT)))
+        self._dst_dev = jnp.asarray(np.pad(dst_stream.data, (0, _MAX_FFT)))
+
+    # --- device buffers ----------------------------------------------------
+
+    # --- execution ----------------------------------------------------------
+
+    def execute(self, requests: Sequence[SearchRequest]) -> Dict[SearchRequest, Tuple[float, float]]:
+        """Run all requests on device; returns {request: (score, time)}."""
+        jnp = self._jnp
+        planned = []  # (request, pat_start, pat_len, win_start, win_len, start_time, fft)
+        for request in requests:
+            pat_start, pat_len = self._patterns.bounds(request.group_idx, request.part)
+            win_start, win_len, start_time = window_bounds(self._dst, request, pat_len)
+            if win_len < pat_len:
+                raise SushiError("search window shorter than pattern — broken input?")
+            fft_size = min(max(_next_pow2(win_len), _MIN_FFT), _MAX_FFT)
+            if fft_size < win_len:
+                raise SushiError("search window too large for the device matcher")
+            planned.append((request, pat_start, pat_len, win_start, win_len, start_time, fft_size))
+
+        results: Dict[SearchRequest, Tuple[float, float]] = {}
+        by_fft: Dict[int, List[tuple]] = {}
+        for item in planned:
+            by_fft.setdefault(item[-1], []).append(item)
+
+        for fft_size, items in sorted(by_fft.items()):
+            src_dev, dst_dev = self._src_dev, self._dst_dev
+            # every chunk pads up to a bucket size so the jitted kernel only
+            # ever compiles a handful of (fft_size, batch) shapes
+            max_b = max(1, min(self._max_batch_elements // fft_size, _BATCH_BUCKETS[-1]))
+            for chunk_start in range(0, len(items), max_b):
+                chunk = items[chunk_start : chunk_start + max_b]
+                b = len(chunk)
+                padded_b = next(s for s in _BATCH_BUCKETS if s >= b)
+                rows = chunk + [chunk[0]] * (padded_b - b)
+                scores, lags = sqdiff.match_from_streams(
+                    src_dev,
+                    dst_dev,
+                    jnp.asarray(np.array([r[1] for r in rows], np.int32)),
+                    jnp.asarray(np.array([r[2] for r in rows], np.int32)),
+                    jnp.asarray(np.array([r[3] for r in rows], np.int32)),
+                    jnp.asarray(np.array([r[4] for r in rows], np.int32)),
+                    fft_size=fft_size,
+                    slice_len=fft_size,
+                    rescore_k=self._rescore_k,
+                )
+                scores = np.asarray(scores)
+                lags = np.asarray(lags)
+                for i, (request, _, _, win_start, _, start_time, _) in enumerate(chunk):
+                    time = start_time + lags[i] / float(self._dst.sample_rate)
+                    results[request] = (float(scores[i]), float(time), win_start + int(lags[i]))
+        return results
+
+    def global_alignment_estimate(self) -> int:
+        """Coarse whole-stream alignment via one pooled FFT correlation.
+
+        Returns the estimated dst-buffer sample index offset of src-buffer
+        content (i.e. ``dst[i + delta] ≈ src[i]``).  Used only to seed the
+        speculative replay, so ±pool-width accuracy is plenty.
+        """
+        jnp = self._jnp
+        pool = 16
+        fft_size = _next_pow2(
+            (max(len(self._src_dev), len(self._dst_dev)) // pool) * 2
+        )
+        estimate = _global_estimate_jit(self._src_dev, self._dst_dev, pool, fft_size)
+        return int(estimate) * pool
+
+
+import functools as _functools
+
+import jax as _jax
+
+
+@_functools.partial(_jax.jit, static_argnames=("pool", "fft_size"))
+def _global_estimate_jit(src, dst, pool, fft_size):
+    import jax.numpy as jnp
+
+    def pooled(stream):
+        as_f32 = stream.astype(jnp.float32)
+        trimmed = as_f32[: (len(stream) // pool) * pool].reshape(-1, pool).mean(axis=1)
+        return trimmed - trimmed.mean()
+
+    src_p = pooled(src)
+    dst_p = pooled(dst)
+    corr = jnp.fft.irfft(
+        jnp.fft.rfft(dst_p, n=fft_size) * jnp.conj(jnp.fft.rfft(src_p, n=fft_size)), n=fft_size
+    )
+    peak = jnp.argmax(corr)
+    # lags in the upper half are negative (circular correlation)
+    return jnp.where(peak > fft_size // 2, peak - fft_size, peak)
+
+
+class OracleMatcher:
+    """Sequential host matcher on the float64 oracle — arbitration baseline."""
+
+    def __init__(self, src_stream: AudioStream, dst_stream: AudioStream, groups: Sequence[GroupSpan]):
+        self._dst = dst_stream
+        self._patterns = PatternTable(groups)
+        self._src_f32 = stream_to_f32(src_stream)
+        self._dst_f32 = stream_to_f32(dst_stream)
+
+    def find(self, request: SearchRequest) -> Tuple[float, float, int]:
+        pat_start, pat_len = self._patterns.bounds(request.group_idx, request.part)
+        win_start, win_len, start_time = window_bounds(self._dst, request, pat_len)
+        pattern = self._src_f32[pat_start : pat_start + pat_len]
+        window = self._dst_f32[win_start : win_start + win_len]
+        score, lag = sqdiff.oracle_match(pattern, window)
+        return score, start_time + lag / float(self._dst.sample_rate), win_start + lag
+
+    def global_alignment_estimate(self) -> int:
+        return 0
+
+
+class ReplayPredictor:
+    """Bit-exact result prediction for speculative replay.
+
+    Tracks, per group, the absolute destination-buffer sample where that
+    group's pattern was actually found (from real FULL-part results); groups
+    without a real result inherit the nearest earlier group's alignment, or
+    the whole-stream estimate.  A prediction then *emulates the kernel's
+    arithmetic* — window clipping, integer truncation, ``time = start_time +
+    lag/rate`` — so on clean audio the predicted result is bit-identical to
+    the real one and the replayed request keys stay stable across rounds.
+    """
+
+    def __init__(self, spans: Sequence[GroupSpan], dst_stream: AudioStream, patterns: PatternTable, delta0: int):
+        self._spans = spans
+        self._dst = dst_stream
+        self._patterns = patterns
+        self._delta0 = delta0
+        self._window_rank: List[float] = [-1.0] * len(spans)
+        self._delta: List[Optional[int]] = [None] * len(spans)
+        self._effective: List[int] = [delta0] * len(spans)
+
+    def observe(self, request: SearchRequest, abs_sample: int) -> None:
+        """Record a real FULL-part result (prefer the widest window)."""
+        if request.part != FULL:
+            return
+        g = request.group_idx
+        if request.window >= self._window_rank[g]:
+            self._window_rank[g] = request.window
+            self._delta[g] = abs_sample - self._spans[g].pat_start
+
+    def refresh(self) -> None:
+        current = self._delta0
+        for g in range(len(self._spans)):
+            if self._delta[g] is not None:
+                current = self._delta[g]
+            self._effective[g] = current
+
+    def predict(self, request: SearchRequest) -> Tuple[float, float, int]:
+        pat_start, pat_len = self._patterns.bounds(request.group_idx, request.part)
+        win_start, win_len, start_time = window_bounds(self._dst, request, pat_len)
+        found = pat_start + self._effective[request.group_idx]
+        lag = found - win_start
+        if 0 <= lag <= win_len - pat_len:
+            score = 0.001
+        else:
+            # pattern predicted outside this window: emulate a garbage find
+            lag = max(0, min(lag, win_len - pat_len))
+            score = 0.9
+        return score, start_time + lag / float(self._dst.sample_rate), win_start + lag
+
+
+def groups_to_spans(groups_events, src_stream: AudioStream) -> List[GroupSpan]:
+    spans = []
+    for events in groups_events:
+        start, end = events[0].start, events[-1].end
+        lo = src_stream.sample_for_time(start)
+        hi = src_stream.sample_for_time(end)
+        spans.append(GroupSpan(start=start, end=end, pat_start=lo, pat_len=hi - lo))
+    return spans
+
+
+def calculate_shifts(
+    src_stream: AudioStream,
+    dst_stream: AudioStream,
+    groups_events,
+    normal_window: float,
+    max_window: float,
+    rewind_thresh: int,
+    matcher: Optional[object] = None,
+    max_rounds: int = 10000,
+) -> List[GroupResult]:
+    """Search every group's shift and write it onto the events.
+
+    Batched speculative-replay execution; decision-for-decision identical
+    to running the reference loop sequentially.
+    """
+    spans = groups_to_spans(groups_events, src_stream)
+    if not spans:
+        return []
+    if matcher is None:
+        matcher = DeviceMatcher(src_stream, dst_stream, spans)
+
+    predictor = ReplayPredictor(
+        spans, dst_stream, PatternTable(spans), matcher.global_alignment_estimate()
+    )
+    memo: Dict[SearchRequest, Tuple[float, float, int]] = {}
+
+    def machine_pass(collect_misses: bool):
+        pending: Dict[SearchRequest, None] = {}
+
+        def find(request: SearchRequest) -> Tuple[float, float]:
+            hit = memo.get(request)
+            if hit is not None:
+                return hit[:2]
+            if not collect_misses:
+                raise AssertionError("final replay hit an unmemoized request")
+            pending[request] = None
+            return predictor.predict(request)[:2]
+
+        results = machine.run_search(
+            spans,
+            dst_stream.duration_seconds,
+            dst_stream.sample_rate,
+            find,
+            normal_window,
+            max_window,
+            rewind_thresh,
+        )
+        return results, list(pending)
+
+    rounds = 0
+    while True:
+        predictor.refresh()
+        logging.disable(logging.CRITICAL)  # speculative replays must not spam logs
+        try:
+            _, pending = machine_pass(collect_misses=True)
+        finally:
+            logging.disable(logging.NOTSET)
+        if not pending:
+            break
+        rounds += 1
+        if rounds > max_rounds:
+            raise SushiError("shift search failed to converge")
+        _log.debug("search round %d: %d device requests", rounds, len(pending))
+        if hasattr(matcher, "execute"):
+            fresh = matcher.execute(pending)
+        else:
+            fresh = {request: matcher.find(request) for request in pending}
+        memo.update(fresh)
+        for request, (_, _, abs_sample) in fresh.items():
+            predictor.observe(request, abs_sample)
+
+    # exact final replay (all real results) with logging enabled
+    results, pending = machine_pass(collect_misses=False)
+    assert not pending
+    _log.debug("shift search converged in %d device rounds", rounds)
+
+    machine.apply_group_results(groups_events, results)
+    return results

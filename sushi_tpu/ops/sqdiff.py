@@ -54,7 +54,12 @@ def oracle_sqdiff_normed(pattern: np.ndarray, window: np.ndarray) -> np.ndarray:
     if lw - lp + 1 <= 0:
         raise ValueError("window shorter than pattern")
     pat_energy = float(np.dot(pattern, pattern))
-    corr = np.correlate(window, pattern, mode="valid")
+    if lp * (lw - lp + 1) <= 1 << 22:
+        corr = np.correlate(window, pattern, mode="valid")
+    else:
+        from scipy.signal import fftconvolve
+
+        corr = fftconvolve(window, pattern[::-1], mode="valid")
     cumsq = np.concatenate([[0.0], np.cumsum(window * window)])
     energy = cumsq[lp:] - cumsq[: lw - lp + 1]
     num = pat_energy - 2.0 * corr + energy
@@ -213,13 +218,19 @@ def match_from_streams(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Gather (pattern, window) slices from device-resident streams and match.
 
-    ``src``/``dst`` must be float32 streams padded at the end by at least
-    ``slice_len`` so the fixed-size gathers never clamp.  All start/length
-    arrays are [B] int32; lengths beyond a slice are masked to zero.
+    ``src``/``dst`` are float32 or uint8 streams (uint8 is converted to
+    float32/255 after the gather — the score is scale-invariant, and uint8
+    residency quarters HBM footprint and host->device transfer).  Streams
+    must be padded at the end by at least ``slice_len`` so the fixed-size
+    gathers never clamp.  All start/length arrays are [B] int32; lengths
+    beyond a slice are masked to zero.
     """
 
     def gather(stream, start):
-        return jax.lax.dynamic_slice(stream, (start,), (slice_len,))
+        piece = jax.lax.dynamic_slice(stream, (start,), (slice_len,))
+        if piece.dtype == jnp.uint8:
+            piece = piece.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+        return piece
 
     patterns = _masked_rows(jax.vmap(lambda s: gather(src, s))(pat_starts), pat_lens)
     windows = _masked_rows(jax.vmap(lambda s: gather(dst, s))(win_starts), win_lens)

@@ -11,9 +11,10 @@ import os
 # must override it.  Set SUSHI_TEST_TPU=1 to deliberately run on the chip.
 if os.environ.get("SUSHI_TEST_TPU") != "1":
     os.environ["JAX_PLATFORMS"] = "cpu"
-    # the axon TPU plugin activates whenever this is set, overriding
-    # JAX_PLATFORMS — drop it so tests really run on CPU
+    # the axon TPU plugin activates whenever either of these is set,
+    # overriding JAX_PLATFORMS — drop both so tests really run on CPU
     os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    os.environ.pop("AXON_LOOPBACK_RELAY", None)
     _flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in _flags:
         os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()

@@ -1,0 +1,158 @@
+"""Shift-search driver tests: the state machine, speculative-replay
+batching, and device/oracle parity on synthetic episodes."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from sushi_tpu.align import machine
+from sushi_tpu.align.batcher import DeviceMatcher, OracleMatcher, calculate_shifts, groups_to_spans
+from sushi_tpu.media.stream import AudioStream
+from sushi_tpu.text.subs import ScriptEvent
+
+from tests.fixtures import synth_episode, shift_audio, write_wav_int16
+
+SAMPLE_ERROR = 1.5 / 12000.0  # ±1 sample at the analysis rate (plus float fuzz)
+
+
+def make_pair(tmp, duration, events, dst_shift, seed=0, dst_noise=150, corrupt=()):
+    """Write a src episode and a dst = src shifted by ``dst_shift`` with
+    independent noise; optionally corrupt given (start, end) dst spans."""
+    audio = synth_episode(duration, events, seed=seed)
+    rng = np.random.RandomState(seed + 100)
+    dst_audio = shift_audio(audio, dst_shift)
+    dst_audio = (dst_audio.astype(np.int32) + rng.randint(-dst_noise, dst_noise, len(dst_audio))).astype(np.int16)
+    for (start, end) in corrupt:
+        a = int((start + dst_shift) * 48000)
+        b = int((end + dst_shift) * 48000)
+        dst_audio[a:b] = rng.randint(-9000, 9000, b - a)
+    src_path = os.path.join(tmp, "src.wav")
+    dst_path = os.path.join(tmp, "dst.wav")
+    write_wav_int16(src_path, audio)
+    write_wav_int16(dst_path, dst_audio)
+    src = AudioStream(src_path, 12000, "uint8")
+    dst = AudioStream(dst_path, 12000, "uint8")
+    return src, dst
+
+
+def make_groups(events):
+    return [[ScriptEvent(i + 1, s, e, "line")] for i, (s, e) in enumerate(events)]
+
+
+def run_sequential_oracle(src, dst, groups_events, **params):
+    """Plain sequential state-machine run on the float64 oracle."""
+    spans = groups_to_spans(groups_events, src)
+    matcher = OracleMatcher(src, dst, spans)
+    return machine.run_search(
+        spans,
+        dst.duration_seconds,
+        dst.sample_rate,
+        lambda request: matcher.find(request)[:2],
+        params.get("normal_window", 10),
+        params.get("max_window", 30),
+        params.get("rewind_thresh", 5),
+    )
+
+
+EVENTS = [(2.0, 3.8), (5.0, 6.5), (8.2, 9.9), (12.0, 13.5), (15.1, 16.6), (18.0, 19.4)]
+
+
+class TestConstantShift:
+    @pytest.fixture(scope="class")
+    def pair(self, tmp_path_factory):
+        tmp = str(tmp_path_factory.mktemp("pair"))
+        return make_pair(tmp, 22.0, EVENTS, dst_shift=3.417, seed=1)
+
+    def test_batched_oracle_equals_sequential(self, pair):
+        src, dst = pair
+        groups = make_groups(EVENTS)
+        sequential = run_sequential_oracle(src, dst, groups)
+
+        groups2 = make_groups(EVENTS)
+        spans = groups_to_spans(groups2, src)
+        batched = calculate_shifts(src, dst, groups2, 10, 30, 5, matcher=OracleMatcher(src, dst, spans))
+
+        assert [r.shift for r in batched] == [r.shift for r in sequential]
+        assert [r.diff for r in batched] == [r.diff for r in sequential]
+
+    def test_device_matches_sequential_oracle(self, pair):
+        src, dst = pair
+        sequential = run_sequential_oracle(src, dst, make_groups(EVENTS))
+        groups = make_groups(EVENTS)
+        device = calculate_shifts(src, dst, groups, 10, 30, 5)
+        for dev, seq in zip(device, sequential):
+            assert dev.shift == pytest.approx(seq.shift, abs=SAMPLE_ERROR)
+
+    def test_recovers_true_shift_and_sets_events(self, pair):
+        src, dst = pair
+        groups = make_groups(EVENTS)
+        results = calculate_shifts(src, dst, groups, 10, 30, 5)
+        for result, group in zip(results, groups):
+            assert result.shift == pytest.approx(3.417, abs=2e-3)
+            assert group[0].shift == result.shift
+
+
+def test_shift_change_mid_episode(tmp_path):
+    # first half shifted by 2.0s, second half by 3.2s (a chapter jump):
+    # splice two shifted copies of the dst audio
+    events = [(2.0, 3.6), (5.0, 6.4), (8.0, 9.4), (14.0, 15.4), (17.0, 18.4), (20.0, 21.4)]
+    audio = synth_episode(23.0, events, seed=7)
+    # same dst timeline: t < 11.5s carries src(t-2.0), later src(t-3.2)
+    cut = int(11.5 * 48000)
+    shifted_a = shift_audio(audio, 2.0)
+    shifted_b = shift_audio(audio, 3.2)
+    dst_audio = np.concatenate([shifted_a[:cut], shifted_b[cut : len(shifted_a)]])
+    write_wav_int16(str(tmp_path / "src.wav"), audio)
+    write_wav_int16(str(tmp_path / "dst.wav"), dst_audio)
+    src = AudioStream(str(tmp_path / "src.wav"), 12000, "uint8")
+    dst = AudioStream(str(tmp_path / "dst.wav"), 12000, "uint8")
+
+    sequential = run_sequential_oracle(src, dst, make_groups(events))
+    groups = make_groups(events)
+    device = calculate_shifts(src, dst, groups, 10, 30, 5)
+
+    for dev, seq in zip(device, sequential):
+        assert dev.shift == pytest.approx(seq.shift, abs=SAMPLE_ERROR)
+    for dev, (start, _) in zip(device, events):
+        truth = 2.0 if start < 11.5 else 3.2
+        assert dev.shift == pytest.approx(truth, abs=2e-3)
+
+
+def test_out_of_range_groups_link_back(tmp_path):
+    # dst audio ends at 9s; later groups cannot be searched
+    events = [(2.0, 3.6), (5.0, 6.4), (30.0, 31.4), (33.0, 34.4)]
+    audio = synth_episode(35.0, events, seed=3)
+    write_wav_int16(str(tmp_path / "src.wav"), audio)
+    write_wav_int16(str(tmp_path / "dst.wav"), audio[: int(9.0 * 48000)])
+    src = AudioStream(str(tmp_path / "src.wav"), 12000, "uint8")
+    dst = AudioStream(str(tmp_path / "dst.wav"), 12000, "uint8")
+
+    groups = make_groups(events)
+    results = calculate_shifts(src, dst, groups, 10, 30, 5)
+    assert results[0].shift is not None
+    assert results[2].shift is None and results[3].shift is None
+    # events of failed groups link to the last searchable group's event
+    assert groups[2][0].linked and groups[3][0].linked
+    assert groups[2][0].shift == groups[1][0].shift
+
+
+def test_corrupted_segment_parity(tmp_path):
+    # a span of dst audio destroyed -> split-half verification must reject
+    # those groups; parity with the sequential oracle is the contract
+    events = [(2.0, 3.6), (5.0, 6.4), (8.0, 9.4), (11.0, 12.4), (14.0, 15.4), (17.0, 18.4)]
+    src, dst = make_pair(
+        str(tmp_path), 20.0, events, dst_shift=1.25, seed=5, corrupt=[(7.5, 13.0)]
+    )
+    sequential = run_sequential_oracle(src, dst, make_groups(events))
+    groups = make_groups(events)
+    device = calculate_shifts(src, dst, groups, 10, 30, 5)
+    for dev, seq in zip(device, sequential):
+        if seq.shift is None:
+            assert dev.shift is None
+        else:
+            assert dev.shift == pytest.approx(seq.shift, abs=SAMPLE_ERROR)
+    # the clean groups still recover the true shift
+    assert device[0].shift == pytest.approx(1.25, abs=2e-3)
+    assert device[-1].shift == pytest.approx(1.25, abs=2e-3)
