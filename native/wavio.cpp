@@ -1,0 +1,215 @@
+// Native WAV ingest: RIFF parse + channel downmix + nearest-neighbor
+// downsample, fused in one streaming pass.
+//
+// This is the framework's native equivalent of the reference's hot ingest
+// loop (/root/reference/wav.py:104-162, which leans on OpenCV's C++ resize
+// and NumPy's C core).  Exposed through a plain C ABI consumed via ctypes;
+// sushi_tpu/media/stream.py falls back to the NumPy path when the library
+// is unavailable.
+//
+// Semantics (must match the Python path bit-for-bit):
+//  * frames are read in 1-second chunks;
+//  * each chunk downmixes N channels to mono by float32 averaging;
+//  * each chunk is resampled to round(chunk_frames * rate_ratio) samples,
+//    picking source index floor(dst * chunk_len / dst_len) computed in
+//    double (OpenCV INTER_NEAREST arithmetic);
+//  * output is written at out[padding .. padding + total_written).
+
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+constexpr uint16_t kFormatPcm = 0x0001;
+constexpr uint16_t kFormatFloat = 0x0003;
+constexpr uint16_t kFormatExtensible = 0xFFFE;
+
+struct WavHeader {
+  uint16_t channels = 0;
+  uint32_t framerate = 0;
+  uint16_t sample_width = 0;  // bytes
+  bool float_samples = false;
+  int64_t frames_count = 0;
+  int64_t data_offset = 0;
+};
+
+int64_t file_size_of(std::FILE* file) {
+  const int64_t pos = std::ftell(file);
+  std::fseek(file, 0, SEEK_END);
+  const int64_t size = std::ftell(file);
+  std::fseek(file, pos, SEEK_SET);
+  return size;
+}
+
+// returns 0 on success, negative error code otherwise
+int parse_header(std::FILE* file, WavHeader* header) {
+  char four[4];
+  uint32_t chunk_size = 0;
+  if (std::fread(four, 1, 4, file) != 4 || std::memcmp(four, "RIFF", 4) != 0) return -1;
+  if (std::fread(&chunk_size, 4, 1, file) != 1) return -1;
+  if (std::fread(four, 1, 4, file) != 4 || std::memcmp(four, "WAVE", 4) != 0) return -2;
+
+  const int64_t total_size = file_size_of(file);
+  bool fmt_read = false;
+  while (std::fread(four, 1, 4, file) == 4 && std::fread(&chunk_size, 4, 1, file) == 1) {
+    if (std::memcmp(four, "fmt ", 4) == 0) {
+      if (chunk_size < 16) return -3;
+      struct {
+        uint16_t format_tag, channels;
+        uint32_t framerate, byte_rate;
+        uint16_t block_align, bits;
+      } fmt;
+      if (std::fread(&fmt, 16, 1, file) != 1) return -3;
+      if (fmt.format_tag != kFormatPcm && fmt.format_tag != kFormatExtensible &&
+          fmt.format_tag != kFormatFloat)
+        return -4;
+      header->float_samples = fmt.format_tag == kFormatFloat;
+      header->channels = fmt.channels;
+      header->framerate = fmt.framerate;
+      header->sample_width = (fmt.bits + 7) / 8;
+      if (header->float_samples && header->sample_width != 4) return -4;
+      std::fseek(file, chunk_size - 16 + (chunk_size % 2), SEEK_CUR);
+      fmt_read = true;
+    } else if (std::memcmp(four, "data", 4) == 0) {
+      if (!fmt_read) return -5;
+      const int64_t frame_size =
+          static_cast<int64_t>(header->channels) * header->sample_width;
+      if (frame_size <= 0) return -5;
+      header->data_offset = std::ftell(file);
+      if (total_size > 0xFFFFFFFFLL) {
+        header->frames_count = (total_size - header->data_offset) / frame_size;
+      } else {
+        header->frames_count = static_cast<int64_t>(chunk_size) / frame_size;
+      }
+      return 0;
+    } else {
+      std::fseek(file, static_cast<long>(chunk_size) + (chunk_size % 2), SEEK_CUR);
+    }
+  }
+  return -5;
+}
+
+// decode + downmix one chunk of raw frames into mono float32
+void downmix(const uint8_t* raw, int64_t frames, const WavHeader& header, float* mono) {
+  const int channels = header.channels;
+  if (header.sample_width == 2) {
+    const int16_t* samples = reinterpret_cast<const int16_t*>(raw);
+    if (channels == 1) {
+      for (int64_t i = 0; i < frames; ++i) mono[i] = static_cast<float>(samples[i]);
+    } else {
+      for (int64_t i = 0; i < frames; ++i) {
+        float acc = 0.0f;
+        for (int c = 0; c < channels; ++c) acc += static_cast<float>(samples[i * channels + c]);
+        mono[i] = acc / static_cast<float>(channels);
+      }
+    }
+  } else if (header.sample_width == 3) {
+    // keep the two high bytes of each little-endian 24-bit sample (the
+    // int16 the reference builds, wav.py:71-74)
+    for (int64_t i = 0; i < frames; ++i) {
+      float acc = 0.0f;
+      for (int c = 0; c < channels; ++c) {
+        const uint8_t* sample = raw + (i * channels + c) * 3;
+        const int16_t high = static_cast<int16_t>(
+            static_cast<uint16_t>(sample[1]) | (static_cast<uint16_t>(sample[2]) << 8));
+        acc += static_cast<float>(high);
+      }
+      mono[i] = acc / static_cast<float>(channels);
+    }
+  } else if (header.sample_width == 4 && header.float_samples) {
+    const float* samples = reinterpret_cast<const float*>(raw);
+    for (int64_t i = 0; i < frames; ++i) {
+      float acc = 0.0f;
+      for (int c = 0; c < channels; ++c) acc += samples[i * channels + c];
+      mono[i] = acc / static_cast<float>(channels);
+    }
+  } else if (header.sample_width == 4) {
+    const int32_t* samples = reinterpret_cast<const int32_t*>(raw);
+    for (int64_t i = 0; i < frames; ++i) {
+      float acc = 0.0f;
+      for (int c = 0; c < channels; ++c) acc += static_cast<float>(samples[i * channels + c]);
+      mono[i] = acc / static_cast<float>(channels);
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Probe: fills info = [frames_count, framerate, channels, sample_width].
+// Returns 0 on success, negative error code otherwise.
+int sushi_wav_probe(const char* path, int64_t* info) {
+  std::FILE* file = std::fopen(path, "rb");
+  if (!file) return -10;
+  WavHeader header;
+  const int err = parse_header(file, &header);
+  std::fclose(file);
+  if (err) return err;
+  info[0] = header.frames_count;
+  info[1] = header.framerate;
+  info[2] = header.channels;
+  info[3] = header.sample_width;
+  return 0;
+}
+
+// Load + downmix + per-second NN-downsample into out[offset...].
+// out must have room for offset + ceil(frames/framerate)*ceil-ish samples;
+// the actual written count is returned through *written.
+// Returns 0 on success, negative error code otherwise.
+int sushi_wav_load(const char* path, int32_t sample_rate, float* out, int64_t out_capacity,
+                   int64_t offset, int64_t* written) {
+  std::FILE* file = std::fopen(path, "rb");
+  if (!file) return -10;
+  WavHeader header;
+  int err = parse_header(file, &header);
+  if (err) {
+    std::fclose(file);
+    return err;
+  }
+
+  const int64_t chunk_frames = header.framerate;  // one second
+  const double rate_ratio = static_cast<double>(sample_rate) / header.framerate;
+  const double total_seconds =
+      static_cast<double>(header.frames_count) / static_cast<double>(header.framerate);
+  const int64_t frame_size = static_cast<int64_t>(header.channels) * header.sample_width;
+
+  std::vector<uint8_t> raw(static_cast<size_t>(chunk_frames * frame_size));
+  std::vector<float> mono(static_cast<size_t>(chunk_frames));
+
+  int64_t cursor = offset;
+  double seconds_read = 0.0;
+  while (seconds_read < total_seconds) {
+    const size_t bytes = std::fread(raw.data(), 1, raw.size(), file);
+    const int64_t frames = static_cast<int64_t>(bytes) / frame_size;
+    if (frames == 0) break;
+    downmix(raw.data(), frames, header, mono.data());
+
+    const int64_t new_length = std::llround(static_cast<double>(frames) * rate_ratio);
+    if (cursor + new_length > out_capacity) {
+      std::fclose(file);
+      return -20;
+    }
+    if (new_length == frames) {
+      std::memcpy(out + cursor, mono.data(), static_cast<size_t>(frames) * sizeof(float));
+    } else {
+      const double scale = static_cast<double>(frames) / static_cast<double>(new_length);
+      for (int64_t d = 0; d < new_length; ++d) {
+        int64_t s = static_cast<int64_t>(std::floor(d * scale));
+        if (s > frames - 1) s = frames - 1;
+        out[cursor + d] = mono[static_cast<size_t>(s)];
+      }
+    }
+    cursor += new_length;
+    seconds_read += 1.0;
+  }
+  std::fclose(file);
+  *written = cursor - offset;
+  return 0;
+}
+
+}  // extern "C"

@@ -124,52 +124,27 @@ class DeviceMatcher:
 
     # --- execution ----------------------------------------------------------
 
-    def execute(self, requests: Sequence[SearchRequest]) -> Dict[SearchRequest, Tuple[float, float]]:
-        """Run all requests on device; returns {request: (score, time)}."""
-        jnp = self._jnp
-        planned = []  # (request, pat_start, pat_len, win_start, win_len, start_time, fft)
-        for request in requests:
-            pat_start, pat_len = self._patterns.bounds(request.group_idx, request.part)
-            win_start, win_len, start_time = window_bounds(self._dst, request, pat_len)
-            if win_len < pat_len:
-                raise SushiError("search window shorter than pattern — broken input?")
-            fft_size = min(max(_next_pow2(win_len), _MIN_FFT), _MAX_FFT)
-            if fft_size < win_len:
-                raise SushiError("search window too large for the device matcher")
-            planned.append((request, pat_start, pat_len, win_start, win_len, start_time, fft_size))
+    def plan(self, key, request: SearchRequest, src_base: int = 0, dst_base: int = 0) -> "PlannedSearch":
+        pat_start, pat_len = self._patterns.bounds(request.group_idx, request.part)
+        win_start, win_len, start_time = window_bounds(self._dst, request, pat_len)
+        if win_len < pat_len:
+            raise SushiError("search window shorter than pattern — broken input?")
+        return PlannedSearch(
+            key=key,
+            pat_start=pat_start + src_base,
+            pat_len=pat_len,
+            win_start=win_start + dst_base,
+            win_len=win_len,
+            start_time=start_time,
+            sample_rate=self._dst.sample_rate,
+        )
 
-        results: Dict[SearchRequest, Tuple[float, float]] = {}
-        by_fft: Dict[int, List[tuple]] = {}
-        for item in planned:
-            by_fft.setdefault(item[-1], []).append(item)
-
-        for fft_size, items in sorted(by_fft.items()):
-            src_dev, dst_dev = self._src_dev, self._dst_dev
-            # every chunk pads up to a bucket size so the jitted kernel only
-            # ever compiles a handful of (fft_size, batch) shapes
-            max_b = max(1, min(self._max_batch_elements // fft_size, _BATCH_BUCKETS[-1]))
-            for chunk_start in range(0, len(items), max_b):
-                chunk = items[chunk_start : chunk_start + max_b]
-                b = len(chunk)
-                padded_b = next(s for s in _BATCH_BUCKETS if s >= b)
-                rows = chunk + [chunk[0]] * (padded_b - b)
-                scores, lags = sqdiff.match_from_streams(
-                    src_dev,
-                    dst_dev,
-                    jnp.asarray(np.array([r[1] for r in rows], np.int32)),
-                    jnp.asarray(np.array([r[2] for r in rows], np.int32)),
-                    jnp.asarray(np.array([r[3] for r in rows], np.int32)),
-                    jnp.asarray(np.array([r[4] for r in rows], np.int32)),
-                    fft_size=fft_size,
-                    slice_len=fft_size,
-                    rescore_k=self._rescore_k,
-                )
-                scores = np.asarray(scores)
-                lags = np.asarray(lags)
-                for i, (request, _, _, win_start, _, start_time, _) in enumerate(chunk):
-                    time = start_time + lags[i] / float(self._dst.sample_rate)
-                    results[request] = (float(scores[i]), float(time), win_start + int(lags[i]))
-        return results
+    def execute(self, requests: Sequence[SearchRequest]) -> Dict[SearchRequest, Tuple[float, float, int]]:
+        """Run all requests on device; returns {request: (score, time, abs)}."""
+        planned = [self.plan(request, request) for request in requests]
+        return execute_planned(
+            self._src_dev, self._dst_dev, planned, self._rescore_k, self._max_batch_elements
+        )
 
     def global_alignment_estimate(self) -> int:
         """Coarse whole-stream alignment via one pooled FFT correlation.
@@ -178,13 +153,81 @@ class DeviceMatcher:
         content (i.e. ``dst[i + delta] ≈ src[i]``).  Used only to seed the
         speculative replay, so ±pool-width accuracy is plenty.
         """
-        jnp = self._jnp
         pool = 16
-        fft_size = _next_pow2(
-            (max(len(self._src_dev), len(self._dst_dev)) // pool) * 2
-        )
+        fft_size = _next_pow2((max(len(self._src_dev), len(self._dst_dev)) // pool) * 2)
         estimate = _global_estimate_jit(self._src_dev, self._dst_dev, pool, fft_size)
         return int(estimate) * pool
+
+
+from dataclasses import dataclass as _dataclass
+
+
+@_dataclass(frozen=True)
+class PlannedSearch:
+    """One search resolved to absolute device-buffer sample ranges."""
+
+    key: object
+    pat_start: int
+    pat_len: int
+    win_start: int
+    win_len: int
+    start_time: float
+    sample_rate: int
+
+
+def execute_planned(
+    src_dev,
+    dst_dev,
+    planned: Sequence[PlannedSearch],
+    rescore_k: int = 16,
+    max_batch_elements: int = _MAX_BATCH_ELEMENTS,
+) -> Dict[object, Tuple[float, float, int]]:
+    """Run planned searches as bucketed batched kernel calls.
+
+    Results are keyed by each item's ``key``.  Every bucket chunk is
+    dispatched asynchronously before any device->host sync (each sync is a
+    full tunnel round-trip on remote TPU setups), and chunks pad up to a
+    few batch-size buckets so only a handful of (fft_size, batch) shapes
+    ever compile.
+    """
+    import jax.numpy as jnp
+
+    by_fft: Dict[int, List[PlannedSearch]] = {}
+    for item in planned:
+        fft_size = min(max(_next_pow2(item.win_len), _MIN_FFT), _MAX_FFT)
+        if fft_size < item.win_len:
+            raise SushiError("search window too large for the device matcher")
+        by_fft.setdefault(fft_size, []).append(item)
+
+    in_flight = []
+    for fft_size, items in sorted(by_fft.items()):
+        max_b = max(1, min(max_batch_elements // fft_size, _BATCH_BUCKETS[-1]))
+        for chunk_start in range(0, len(items), max_b):
+            chunk = items[chunk_start : chunk_start + max_b]
+            b = len(chunk)
+            padded_b = next(s for s in _BATCH_BUCKETS if s >= b)
+            rows = chunk + [chunk[0]] * (padded_b - b)
+            scores, lags = sqdiff.match_from_streams(
+                src_dev,
+                dst_dev,
+                jnp.asarray(np.array([r.pat_start for r in rows], np.int32)),
+                jnp.asarray(np.array([r.pat_len for r in rows], np.int32)),
+                jnp.asarray(np.array([r.win_start for r in rows], np.int32)),
+                jnp.asarray(np.array([r.win_len for r in rows], np.int32)),
+                fft_size=fft_size,
+                slice_len=fft_size,
+                rescore_k=rescore_k,
+            )
+            in_flight.append((chunk, scores, lags))
+
+    results: Dict[object, Tuple[float, float, int]] = {}
+    for chunk, scores, lags in in_flight:
+        scores = np.asarray(scores)
+        lags = np.asarray(lags)
+        for i, item in enumerate(chunk):
+            time = item.start_time + lags[i] / float(item.sample_rate)
+            results[item.key] = (float(scores[i]), float(time), item.win_start + int(lags[i]))
+    return results
 
 
 import functools as _functools
@@ -293,6 +336,108 @@ def groups_to_spans(groups_events, src_stream: AudioStream) -> List[GroupSpan]:
     return spans
 
 
+class SearchSession:
+    """One episode's resumable speculative-replay search.
+
+    Drive it with ``pending = session.replay()`` → execute the requests →
+    ``session.feed(results)`` → repeat until ``replay()`` returns empty,
+    then ``session.finalize()``.  Several sessions can share device batches
+    by merging their pending sets (see :func:`run_sessions` and
+    :mod:`sushi_tpu.season`).
+    """
+
+    def __init__(
+        self,
+        src_stream: AudioStream,
+        dst_stream: AudioStream,
+        groups_events,
+        normal_window: float,
+        max_window: float,
+        rewind_thresh: int,
+        delta0: int = 0,
+    ):
+        self.groups_events = groups_events
+        self.spans = groups_to_spans(groups_events, src_stream)
+        self._dst = dst_stream
+        self._params = (normal_window, max_window, rewind_thresh)
+        self._predictor = ReplayPredictor(self.spans, dst_stream, PatternTable(self.spans), delta0)
+        self._memo: Dict[SearchRequest, Tuple[float, float, int]] = {}
+
+    def _machine_pass(self, collect_misses: bool):
+        pending: Dict[SearchRequest, None] = {}
+
+        def find(request: SearchRequest) -> Tuple[float, float]:
+            hit = self._memo.get(request)
+            if hit is not None:
+                return hit[:2]
+            if not collect_misses:
+                raise AssertionError("final replay hit an unmemoized request")
+            pending[request] = None
+            return self._predictor.predict(request)[:2]
+
+        results = machine.run_search(
+            self.spans,
+            self._dst.duration_seconds,
+            self._dst.sample_rate,
+            find,
+            *self._params,
+        )
+        return results, list(pending)
+
+    def replay(self) -> List[SearchRequest]:
+        """One speculative replay; returns the requests still needed."""
+        if not self.spans:
+            return []
+        self._predictor.refresh()
+        logging.disable(logging.CRITICAL)  # speculative replays must not spam logs
+        try:
+            _, pending = self._machine_pass(collect_misses=True)
+        finally:
+            logging.disable(logging.NOTSET)
+        return pending
+
+    def feed(self, results: Dict[SearchRequest, Tuple[float, float, int]]) -> None:
+        self._memo.update(results)
+        for request, (_, _, abs_sample) in results.items():
+            self._predictor.observe(request, abs_sample)
+
+    def finalize(self) -> List[GroupResult]:
+        """Exact final replay on real results only; writes event shifts."""
+        if not self.spans:
+            return []
+        results, pending = self._machine_pass(collect_misses=False)
+        assert not pending
+        machine.apply_group_results(self.groups_events, results)
+        return results
+
+
+def run_sessions(sessions, execute, max_rounds: int = 10000) -> List[List[GroupResult]]:
+    """Drive many sessions to convergence, merging their device batches."""
+    rounds = 0
+    active = list(sessions)
+    while True:
+        all_pending = []
+        still_active = []
+        for session in active:
+            pending = session.replay()
+            if pending:
+                all_pending.append((session, pending))
+                still_active.append(session)
+        if not all_pending:
+            break
+        rounds += 1
+        if rounds > max_rounds:
+            raise SushiError("shift search failed to converge")
+        merged = [(session, request) for session, pending in all_pending for request in pending]
+        _log.debug("search round %d: %d device requests", rounds, len(merged))
+        fresh = execute(merged)
+        for session, _ in all_pending:
+            session.feed({req: res for (s, req), res in fresh.items() if s is session})
+        active = still_active
+    _log.debug("shift search converged in %d device rounds", rounds)
+    return [session.finalize() for session in sessions]
+
+
 def calculate_shifts(
     src_stream: AudioStream,
     dst_stream: AudioStream,
@@ -314,60 +459,23 @@ def calculate_shifts(
     if matcher is None:
         matcher = DeviceMatcher(src_stream, dst_stream, spans)
 
-    predictor = ReplayPredictor(
-        spans, dst_stream, PatternTable(spans), matcher.global_alignment_estimate()
+    session = SearchSession(
+        src_stream,
+        dst_stream,
+        groups_events,
+        normal_window,
+        max_window,
+        rewind_thresh,
+        delta0=matcher.global_alignment_estimate(),
     )
-    memo: Dict[SearchRequest, Tuple[float, float, int]] = {}
 
-    def machine_pass(collect_misses: bool):
-        pending: Dict[SearchRequest, None] = {}
-
-        def find(request: SearchRequest) -> Tuple[float, float]:
-            hit = memo.get(request)
-            if hit is not None:
-                return hit[:2]
-            if not collect_misses:
-                raise AssertionError("final replay hit an unmemoized request")
-            pending[request] = None
-            return predictor.predict(request)[:2]
-
-        results = machine.run_search(
-            spans,
-            dst_stream.duration_seconds,
-            dst_stream.sample_rate,
-            find,
-            normal_window,
-            max_window,
-            rewind_thresh,
-        )
-        return results, list(pending)
-
-    rounds = 0
-    while True:
-        predictor.refresh()
-        logging.disable(logging.CRITICAL)  # speculative replays must not spam logs
-        try:
-            _, pending = machine_pass(collect_misses=True)
-        finally:
-            logging.disable(logging.NOTSET)
-        if not pending:
-            break
-        rounds += 1
-        if rounds > max_rounds:
-            raise SushiError("shift search failed to converge")
-        _log.debug("search round %d: %d device requests", rounds, len(pending))
+    def execute(tagged):
+        requests = [request for _, request in tagged]
         if hasattr(matcher, "execute"):
-            fresh = matcher.execute(pending)
+            fresh = matcher.execute(requests)
         else:
-            fresh = {request: matcher.find(request) for request in pending}
-        memo.update(fresh)
-        for request, (_, _, abs_sample) in fresh.items():
-            predictor.observe(request, abs_sample)
+            fresh = {request: matcher.find(request) for request in requests}
+        return {(session, request): fresh[request] for request in requests}
 
-    # exact final replay (all real results) with logging enabled
-    results, pending = machine_pass(collect_misses=False)
-    assert not pending
-    _log.debug("shift search converged in %d device rounds", rounds)
-
-    machine.apply_group_results(groups_events, results)
-    return results
+    results = run_sessions([session], execute, max_rounds=max_rounds)
+    return results[0]

@@ -31,7 +31,10 @@ class WaveReader:
     """Sequential frame reader over the ``data`` chunk of a WAVE file."""
 
     def __init__(self, path: str):
-        self._file = open(path, "rb")
+        try:
+            self._file = open(path, "rb")
+        except OSError as error:
+            raise SushiError("Cannot open {0}: {1}".format(path, error.strerror or error))
         self.path = path
         self._float_samples = False
         try:

@@ -45,11 +45,20 @@ _SAMPLE_TYPES = ("float32", "uint8")
 class AudioStream:
     """A mono analysis-rate audio buffer with symmetric edge padding."""
 
-    def __init__(self, path: str, sample_rate: int = 12000, sample_type: str = "uint8"):
+    def __init__(
+        self,
+        path: str,
+        sample_rate: int = 12000,
+        sample_type: str = "uint8",
+        use_native: bool = True,
+    ):
         if sample_type not in _SAMPLE_TYPES:
             raise SushiError("Unknown sample type of WAV stream, must be uint8 or float32")
 
         started = time.time()
+        if use_native and self._init_native(path, sample_rate, sample_type):
+            _log.info("Done reading WAV %s in %fs (native)", path, time.time() - started)
+            return
         with WaveReader(path) as reader:
             total_seconds = reader.frames_count / float(reader.framerate)
             downsample_rate = sample_rate / float(reader.framerate)
@@ -101,6 +110,48 @@ class AudioStream:
 
         self.data = data
         _log.info("Done reading WAV %s in %fs", path, time.time() - started)
+
+    def _init_native(self, path: str, sample_rate: int, sample_type: str) -> bool:
+        """Fast path: fused C++ read/downmix/downsample (native/wavio.cpp);
+        padding, normalization and quantization happen here in NumPy with
+        the same arithmetic as the pure-Python path."""
+        from sushi_tpu.media import native
+
+        probed = native.probe(path)
+        if probed is None:
+            return False
+        frames_count, framerate, _channels, _width = probed
+
+        total_seconds = frames_count / float(framerate)
+        self.sample_count = int(math.ceil(total_seconds * sample_rate))
+        self.sample_rate = sample_rate
+        self.padding_size = PADDING_SECONDS * framerate
+        data = np.zeros(int(self.padding_size * 2 + self.sample_count), np.float32)
+
+        written = native.load_into(path, sample_rate, data, self.padding_size)
+        if written is None:
+            return False
+        if written == 0 and frames_count > 0:
+            raise SushiError("Error while loading {0}: no audio decoded".format(path))
+
+        data[: self.padding_size] = data[self.padding_size]
+        data[-self.padding_size :] = data[-self.padding_size - 1]
+
+        max_value = float(np.median(data[data >= 0])) * 3
+        min_value = float(np.median(data[data <= 0])) * 3
+        if not (max_value - min_value) > 0:
+            raise SushiError(
+                "Error while loading {0}: audio is silent or empty, cannot normalize".format(path)
+            )
+        np.clip(data, min_value, max_value, out=data)
+        data -= min_value
+        data /= max_value - min_value
+        if sample_type == "uint8":
+            data *= 255.0
+            data += 0.5
+            data = data.astype(np.uint8)
+        self.data = data
+        return True
 
     @property
     def duration_seconds(self) -> float:

@@ -1,0 +1,74 @@
+"""Multi-device sharding tests on the 8-virtual-CPU-device mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from sushi_tpu.ops.sqdiff import oracle_match
+from sushi_tpu.parallel.sharded_search import (
+    chunk_wide_window,
+    make_mesh,
+    sharded_match_rows,
+    wide_window_search,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    return make_mesh((4, 2), ("dp", "sp"))
+
+
+def test_chunk_wide_window_covers_all_lags():
+    spans = chunk_wide_window(window_length=10000, pattern_length=700, num_chunks=4)
+    covered = set()
+    for offset, length in spans:
+        if length:
+            for lag in range(offset, offset + length - 700 + 1):
+                covered.add(lag)
+    assert covered == set(range(10000 - 700 + 1))
+
+
+def test_chunk_wide_window_tiny_window_empty_tail():
+    spans = chunk_wide_window(window_length=20, pattern_length=18, num_chunks=8)
+    total = sum(max(0, length - 18 + 1) for _, length in spans if length)
+    assert total == 3
+
+
+def test_wide_window_search_matches_oracle(mesh8):
+    rng = np.random.RandomState(11)
+    window = rng.rand(50000).astype(np.float32)
+    pattern = np.clip(window[31000:32000] + rng.randn(1000).astype(np.float32) * 0.02, 0, 1)
+    score, lag = wide_window_search(pattern, window, mesh8, axis="sp")
+    oracle_score, oracle_lag = oracle_match(pattern, window)
+    assert abs(lag - oracle_lag) <= 1
+    assert score == pytest.approx(oracle_score, abs=1e-3)
+
+
+def test_wide_window_search_full_mesh_rows(mesh8):
+    # rows sharded over BOTH axes: 8 requests over ('dp','sp')
+    rng = np.random.RandomState(12)
+    n = 4096
+    windows = rng.rand(8, n).astype(np.float32)
+    patterns = np.zeros((8, n), np.float32)
+    true_lags = rng.randint(0, 2500, 8)
+    for i in range(8):
+        patterns[i, :512] = windows[i, true_lags[i] : true_lags[i] + 512]
+    pat_lens = np.full(8, 512, np.int32)
+    win_lens = np.full(8, n, np.int32)
+    scores, lags = sharded_match_rows(
+        patterns, pat_lens, windows, win_lens, n, mesh8, ("dp", "sp")
+    )
+    assert np.array_equal(np.asarray(lags), true_lags)
+    assert np.all(np.asarray(scores) < 1e-5)
+
+
+def test_training_step_sharded(mesh8):
+    from sushi_tpu.models.aligner import training_step_sharded
+
+    step, args = training_step_sharded(mesh8, fft_size=2048, rescore_k=8)
+    scores, lags = step(*args)
+    assert scores.shape == (4,)
+    assert float(np.max(np.asarray(scores))) < 1e-3

@@ -154,3 +154,42 @@ def test_audio_stream_time_arithmetic(tmp_path):
 def test_audio_stream_rejects_bad_sample_type(tmp_path):
     with pytest.raises(SushiError):
         AudioStream("whatever.wav", sample_type="int32")
+
+
+class TestNativeIngest:
+    """Native C++ path must be byte-identical to the pure-Python path."""
+
+    @pytest.fixture(autouse=True)
+    def _need_native(self):
+        from sushi_tpu.media import native
+
+        if not native.available():
+            pytest.skip("native wavio unavailable (no compiler)")
+
+    @pytest.mark.parametrize("framerate", [48000, 44100])
+    @pytest.mark.parametrize("sample_type", ["uint8", "float32"])
+    def test_native_matches_python(self, tmp_path, framerate, sample_type):
+        path = str(tmp_path / "ep.wav")
+        audio = synth_episode(4.3, [(0.5, 1.2), (2.0, 3.1)], framerate=framerate, seed=13)
+        write_wav_int16(path, np.stack([audio, audio // 2], axis=1), framerate=framerate)
+        native_stream = AudioStream(path, 12000, sample_type, use_native=True)
+        python_stream = AudioStream(path, 12000, sample_type, use_native=False)
+        assert native_stream.data.dtype == python_stream.data.dtype
+        assert np.array_equal(native_stream.data, python_stream.data)
+
+    def test_native_24bit_matches_python(self, tmp_path):
+        path = str(tmp_path / "w24.wav")
+        rng = np.random.RandomState(3)
+        samples = rng.randint(-(2**23), 2**23 - 1, 48000 * 2).astype(np.int32)
+        write_wav_int24(path, samples, framerate=48000)
+        native_stream = AudioStream(path, 12000, "uint8", use_native=True)
+        python_stream = AudioStream(path, 12000, "uint8", use_native=False)
+        assert np.array_equal(native_stream.data, python_stream.data)
+
+    def test_native_probe(self, tmp_path):
+        from sushi_tpu.media import native
+
+        path = str(tmp_path / "p.wav")
+        write_wav_int16(path, np.zeros((8000, 2), np.int16), framerate=8000)
+        assert native.probe(path) == (8000, 8000, 2, 2)
+        assert native.probe(str(tmp_path / "missing.wav")) is None
