@@ -15,6 +15,7 @@
 //    double (OpenCV INTER_NEAREST arithmetic);
 //  * output is written at out[padding .. padding + total_written).
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
@@ -209,6 +210,81 @@ int sushi_wav_load(const char* path, int32_t sample_rate, float* out, int64_t ou
   }
   std::fclose(file);
   *written = cursor - offset;
+  return 0;
+}
+
+// Full analysis-stream preparation: decode + downmix + downsample into a
+// caller-provided padded float32 buffer, then edge-pad, 3x-median clip,
+// rescale to [0,1] and (optionally) quantize to uint8 — the whole of the
+// reference's WavStream.__init__ arithmetic (wav.py:108-156) in one pass.
+//
+// buffer: float32[buffer_len], zero-initialized by the caller;
+//         buffer_len = 2*padding + sample_count.
+// out_u8: when non-null, receives the quantized uint8 stream (same length)
+//         and `buffer` is left in its post-normalize float state.
+// Returns 0 on success; -30 when audio is silent/empty (degenerate range).
+int sushi_wav_prepare(const char* path, int32_t sample_rate, float* buffer, int64_t buffer_len,
+                      int64_t padding, uint8_t* out_u8) {
+  int64_t written = 0;
+  const int err = sushi_wav_load(path, sample_rate, buffer, buffer_len, padding, &written);
+  if (err) return err;
+  if (written == 0) return -30;
+
+  // edge padding
+  const float head = buffer[padding];
+  for (int64_t i = 0; i < padding; ++i) buffer[i] = head;
+  const float tail = buffer[buffer_len - padding - 1];
+  for (int64_t i = buffer_len - padding; i < buffer_len; ++i) buffer[i] = tail;
+
+  // medians of the non-negative and non-positive subsets (NumPy semantics:
+  // even count averages the two middle values)
+  std::vector<float> side;
+  side.reserve(static_cast<size_t>(buffer_len));
+  auto median_of = [&side]() -> float {
+    const size_t n = side.size();
+    if (n == 0) return 0.0f;
+    const size_t hi = n / 2;
+    std::nth_element(side.begin(), side.begin() + hi, side.end());
+    const float upper = side[hi];
+    if (n % 2 == 1) return upper;
+    const float lower = *std::max_element(side.begin(), side.begin() + hi);
+    return (lower + upper) / 2.0f;
+  };
+
+  side.clear();
+  for (int64_t i = 0; i < buffer_len; ++i)
+    if (buffer[i] >= 0.0f) side.push_back(buffer[i]);
+  const float max_value = median_of() * 3.0f;
+
+  side.clear();
+  for (int64_t i = 0; i < buffer_len; ++i)
+    if (buffer[i] <= 0.0f) side.push_back(buffer[i]);
+  const float min_value = median_of() * 3.0f;
+
+  const float range = max_value - min_value;
+  if (!(range > 0.0f)) return -30;
+
+  // op-for-op float32 parity with the NumPy path (clip, subtract, divide,
+  // *255, +0.5, truncate); the build disables FP contraction so no FMA
+  // merges two rounded ops into one
+  if (out_u8 != nullptr) {
+    for (int64_t i = 0; i < buffer_len; ++i) {
+      float v = buffer[i];
+      v = v < min_value ? min_value : (v > max_value ? max_value : v);
+      v = v - min_value;
+      v = v / range;
+      v = v * 255.0f;
+      v = v + 0.5f;
+      out_u8[i] = static_cast<uint8_t>(v);
+    }
+  } else {
+    for (int64_t i = 0; i < buffer_len; ++i) {
+      float v = buffer[i];
+      v = v < min_value ? min_value : (v > max_value ? max_value : v);
+      v = v - min_value;
+      buffer[i] = v / range;
+    }
+  }
   return 0;
 }
 

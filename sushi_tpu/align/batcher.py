@@ -119,6 +119,8 @@ class DeviceMatcher:
         # largest slice any bucket can gather
         self._src_dev = jnp.asarray(np.pad(src_stream.data, (0, _MAX_FFT)))
         self._dst_dev = jnp.asarray(np.pad(dst_stream.data, (0, _MAX_FFT)))
+        self._src_host = src_stream.data
+        self._dst_host = dst_stream.data
 
     # --- device buffers ----------------------------------------------------
 
@@ -151,12 +153,11 @@ class DeviceMatcher:
 
         Returns the estimated dst-buffer sample index offset of src-buffer
         content (i.e. ``dst[i + delta] ≈ src[i]``).  Used only to seed the
-        speculative replay, so ±pool-width accuracy is plenty.
+        speculative replay, so ±pool-width accuracy is plenty.  Runs on the
+        host: the pooled arrays are tiny and a host FFT avoids a device
+        round-trip before the first real batch.
         """
-        pool = 16
-        fft_size = _next_pow2((max(len(self._src_dev), len(self._dst_dev)) // pool) * 2)
-        estimate = _global_estimate_jit(self._src_dev, self._dst_dev, pool, fft_size)
-        return int(estimate) * pool
+        return global_alignment_estimate(self._src_host, self._dst_host)
 
 
 from dataclasses import dataclass as _dataclass
@@ -230,28 +231,27 @@ def execute_planned(
     return results
 
 
-import functools as _functools
-
-import jax as _jax
-
-
-@_functools.partial(_jax.jit, static_argnames=("pool", "fft_size"))
-def _global_estimate_jit(src, dst, pool, fft_size):
-    import jax.numpy as jnp
+def global_alignment_estimate(src: np.ndarray, dst: np.ndarray, pool: int = 64) -> int:
+    """Pooled whole-stream cross-correlation argmax on the host."""
 
     def pooled(stream):
-        as_f32 = stream.astype(jnp.float32)
-        trimmed = as_f32[: (len(stream) // pool) * pool].reshape(-1, pool).mean(axis=1)
-        return trimmed - trimmed.mean()
+        trimmed = (
+            stream[: (len(stream) // pool) * pool]
+            .reshape(-1, pool)
+            .mean(axis=1, dtype=np.float32)
+        )
+        return trimmed - trimmed.mean(dtype=np.float32)
 
     src_p = pooled(src)
     dst_p = pooled(dst)
-    corr = jnp.fft.irfft(
-        jnp.fft.rfft(dst_p, n=fft_size) * jnp.conj(jnp.fft.rfft(src_p, n=fft_size)), n=fft_size
+    fft_size = _next_pow2(max(len(src_p), len(dst_p)) * 2)
+    corr = np.fft.irfft(
+        np.fft.rfft(dst_p, n=fft_size) * np.conj(np.fft.rfft(src_p, n=fft_size)), n=fft_size
     )
-    peak = jnp.argmax(corr)
-    # lags in the upper half are negative (circular correlation)
-    return jnp.where(peak > fft_size // 2, peak - fft_size, peak)
+    peak = int(np.argmax(corr))
+    if peak > fft_size // 2:  # upper-half lags are negative (circular corr)
+        peak -= fft_size
+    return peak * pool
 
 
 class OracleMatcher:

@@ -31,8 +31,8 @@ _load_failed = False
 def _build() -> bool:
     os.makedirs(_CACHE_DIR, exist_ok=True)
     command = [
-        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-        _SOURCE, "-o", _LIB_PATH,
+        "g++", "-O3", "-march=native", "-ffp-contract=off", "-shared", "-fPIC",
+        "-std=c++17", _SOURCE, "-o", _LIB_PATH,
     ]
     try:
         result = subprocess.run(command, capture_output=True, text=True, timeout=120)
@@ -72,6 +72,15 @@ def _get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_int64),
             ]
+            lib.sushi_wav_prepare.restype = ctypes.c_int
+            lib.sushi_wav_prepare.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.c_void_p,
+            ]
             _lib = lib
         except OSError as error:
             _log.debug("native wavio load failed: %s", error)
@@ -92,6 +101,34 @@ def probe(path: str) -> Optional[Tuple[int, int, int, int]]:
     if lib.sushi_wav_probe(path.encode(), info) != 0:
         return None
     return int(info[0]), int(info[1]), int(info[2]), int(info[3])
+
+
+SILENT_AUDIO = -30
+
+
+def prepare(path: str, sample_rate: int, buffer: np.ndarray, padding: int,
+            out_u8: Optional[np.ndarray]) -> Optional[int]:
+    """Full analysis-stream preparation (decode through quantize) in C++.
+
+    Returns 0 on success, SILENT_AUDIO for degenerate audio, or None to
+    fall back to the NumPy path.
+    """
+    lib = _get_lib()
+    if lib is None:
+        return None
+    assert buffer.dtype == np.float32 and buffer.flags.c_contiguous
+    status = lib.sushi_wav_prepare(
+        path.encode(),
+        sample_rate,
+        buffer.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(buffer),
+        padding,
+        out_u8.ctypes.data if out_u8 is not None else None,
+    )
+    if status == 0 or status == SILENT_AUDIO:
+        return status
+    _log.debug("native wavio prepare returned %d for %s; falling back", status, path)
+    return None
 
 
 def load_into(path: str, sample_rate: int, out: np.ndarray, offset: int) -> Optional[int]:

@@ -112,9 +112,9 @@ class AudioStream:
         _log.info("Done reading WAV %s in %fs", path, time.time() - started)
 
     def _init_native(self, path: str, sample_rate: int, sample_type: str) -> bool:
-        """Fast path: fused C++ read/downmix/downsample (native/wavio.cpp);
-        padding, normalization and quantization happen here in NumPy with
-        the same arithmetic as the pure-Python path."""
+        """Fast path: the entire preparation (decode, downmix, downsample,
+        pad, 3x-median normalize, quantize) runs fused in C++
+        (native/wavio.cpp) with op-for-op float32 parity."""
         from sushi_tpu.media import native
 
         probed = native.probe(path)
@@ -126,31 +126,18 @@ class AudioStream:
         self.sample_count = int(math.ceil(total_seconds * sample_rate))
         self.sample_rate = sample_rate
         self.padding_size = PADDING_SECONDS * framerate
-        data = np.zeros(int(self.padding_size * 2 + self.sample_count), np.float32)
+        buffer_len = int(self.padding_size * 2 + self.sample_count)
+        scratch = np.zeros(buffer_len, np.float32)
+        quantized = np.empty(buffer_len, np.uint8) if sample_type == "uint8" else None
 
-        written = native.load_into(path, sample_rate, data, self.padding_size)
-        if written is None:
+        status = native.prepare(path, sample_rate, scratch, self.padding_size, quantized)
+        if status is None:
             return False
-        if written == 0 and frames_count > 0:
-            raise SushiError("Error while loading {0}: no audio decoded".format(path))
-
-        data[: self.padding_size] = data[self.padding_size]
-        data[-self.padding_size :] = data[-self.padding_size - 1]
-
-        max_value = float(np.median(data[data >= 0])) * 3
-        min_value = float(np.median(data[data <= 0])) * 3
-        if not (max_value - min_value) > 0:
+        if status == native.SILENT_AUDIO:
             raise SushiError(
                 "Error while loading {0}: audio is silent or empty, cannot normalize".format(path)
             )
-        np.clip(data, min_value, max_value, out=data)
-        data -= min_value
-        data /= max_value - min_value
-        if sample_type == "uint8":
-            data *= 255.0
-            data += 0.5
-            data = data.astype(np.uint8)
-        self.data = data
+        self.data = quantized if quantized is not None else scratch
         return True
 
     @property
