@@ -200,6 +200,11 @@ def main():
     import logging
 
     logging.getLogger().setLevel(logging.ERROR)  # keep stderr usable
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from sushi_tpu.utils.device import ensure_accelerator
+
+    platform = ensure_accelerator()
+    log("bench: running on platform %r" % platform)
     src_wav, dst_wav, script = build_fixture()
 
     ours = measure_ours(src_wav, dst_wav, script)

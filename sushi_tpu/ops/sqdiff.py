@@ -156,6 +156,20 @@ def _rescore_candidates(
     return jax.vmap(one_row)(patterns, pat_lens, windows, candidate_lags)
 
 
+def _rescore_auto(patterns, pat_lens, windows, candidates):
+    """Pick the rescore implementation: the Pallas kernel on TPU (VMEM
+    permitting; interpreted elsewhere for testability), XLA fallback."""
+    from sushi_tpu.ops import pallas_ssd
+
+    n = patterns.shape[1]
+    if not pallas_ssd.pallas_rescore_supported(n):
+        return _rescore_candidates(patterns, pat_lens, windows, candidates)
+    on_tpu = jax.default_backend() == "tpu"
+    return pallas_ssd.rescore_candidates_pallas(
+        patterns, pat_lens, windows, candidates, interpret=not on_tpu
+    )
+
+
 def match_padded_batch(
     patterns: jnp.ndarray,
     pat_lens: jnp.ndarray,
@@ -174,7 +188,7 @@ def match_padded_batch(
     _, candidates = jax.lax.top_k(-coarse, rescore_k)  # ties -> lower lag first
     candidates = candidates.astype(jnp.int32)
 
-    num, energy = _rescore_candidates(patterns, pat_lens, windows, candidates)
+    num, energy = _rescore_auto(patterns, pat_lens, windows, candidates)
     pat_energy = jnp.sum(patterns * patterns, axis=1, keepdims=True)
     den = jnp.sqrt(pat_energy * energy)
     exact = jnp.where((den > 0.0) & (num < den), num / jnp.where(den > 0.0, den, 1.0), 1.0)
