@@ -18,4 +18,15 @@ alignment pipeline.
 from sushi_tpu.version import VERSION, __version__
 from sushi_tpu.errors import SushiError
 
-__all__ = ["VERSION", "__version__", "SushiError"]
+__all__ = [
+    "VERSION",
+    "__version__",
+    "SushiError",
+    # lazily-importable public surface (heavy deps load on first use):
+    #   sushi_tpu.cli.main / parse_args_and_run   — the CLI
+    #   sushi_tpu.pipeline.run                    — one-episode pipeline
+    #   sushi_tpu.season.sync_season              — batch season sync
+    #   sushi_tpu.media.stream.AudioStream        — WAV -> analysis buffer
+    #   sushi_tpu.text.subs.load_script           — ASS/SRT scripts
+    #   sushi_tpu.align.batcher.calculate_shifts  — batched shift search
+]

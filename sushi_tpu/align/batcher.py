@@ -107,9 +107,8 @@ class DeviceMatcher:
         from sushi_tpu.utils.compile_cache import enable as enable_compile_cache
 
         enable_compile_cache()
-        import jax.numpy as jnp  # deferred so host-only paths never init a backend
+        import jax.numpy as jnp
 
-        self._jnp = jnp
         self._dst = dst_stream
         self._patterns = PatternTable(groups)
         self._rescore_k = rescore_k
