@@ -8,7 +8,6 @@ fixed shapes for compile checks and multi-chip dry runs.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import numpy as np
 
