@@ -118,14 +118,62 @@ def measure_ours(src_wav, dst_wav, script):
     return warm
 
 
+def measure_stages(src_wav, dst_wav, script):
+    """Instrumented stage breakdown (stderr detail, not the headline)."""
+    from sushi_tpu.align.batcher import DeviceMatcher, calculate_shifts, groups_to_spans
+    from sushi_tpu.align.groups import prepare_search_groups
+    from sushi_tpu.media.stream import AudioStream
+    from sushi_tpu.text.subs import SrtScript
+
+    t0 = time.time()
+    src = AudioStream(src_wav, 12000, "uint8")
+    dst = AudioStream(dst_wav, 12000, "uint8")
+    t_load = time.time() - t0
+    doc = SrtScript.from_file(script)
+    doc.sort_by_time()
+    groups = prepare_search_groups(
+        doc.events, source_duration=src.duration_seconds, chapter_times=[],
+        max_ts_duration=_Args.max_ts_duration, max_ts_distance=_Args.max_ts_distance,
+    )
+    t0 = time.time()
+    matcher = DeviceMatcher(src, dst, groups_to_spans(groups, src))
+    t_init = time.time() - t0
+    t0 = time.time()
+    calculate_shifts(src, dst, groups, 10, 30, 5, matcher=matcher)
+    t_search = time.time() - t0
+    log(
+        "bench: stages — load %.2fs, device init/upload %.2fs, search %.2fs"
+        % (t_load, t_init, t_search)
+    )
+    return t_search
+
+
+def measure_season(src_wav, dst_wav, script, episodes=4):
+    """Season batch sync throughput: N copies of the episode through
+    shared device batches (BASELINE config 5, scaled down)."""
+    from sushi_tpu.season import SeasonJob, sync_season
+
+    jobs = [
+        SeasonJob(src_wav, dst_wav, script, os.path.join(BENCH_DIR, "season.out.%d.srt" % i))
+        for i in range(episodes)
+    ]
+    # best-of-2: the first call in a process absorbs cached-executable
+    # deserialization; the second reflects steady-state serving
+    elapsed = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        sync_season(jobs)
+        elapsed = min(elapsed, time.time() - t0)
+    log("bench: season %d episodes in %.2fs (%.1f episodes/min)" % (
+        episodes, elapsed, episodes * 60.0 / elapsed))
+    return elapsed
+
+
 def measure_baseline(src_wav, dst_wav, script):
     """Reference engine: sequential cv2.matchTemplate through the same
-    state machine and heuristics (measured, cached)."""
-    cache = os.path.join(BENCH_DIR, "baseline.json")
-    if os.path.exists(cache):
-        with open(cache) as handle:
-            return json.load(handle)["seconds"]
-
+    state machine and heuristics.  Measured fresh on every bench run so
+    both engines see the same machine state (this host's throughput
+    drifts considerably over hours)."""
     import cv2
     import numpy as np
 
@@ -174,13 +222,19 @@ def measure_baseline(src_wav, dst_wav, script):
     doc.save_to_file(os.path.join(BENCH_DIR, "out.cv2.srt"))
     seconds = time.time() - t0
 
+    # best-of-2 (loads + search), matching how the TPU side reports its
+    # warm second run
+    t0 = time.time()
+    AudioStream(src_wav, 12000, "uint8")
+    AudioStream(dst_wav, 12000, "uint8")
+    machine.run_search(spans, dst_stream.duration_seconds, dst_stream.sample_rate, cv2_find, 10, 30, 5)
+    seconds = min(seconds, time.time() - t0)
+
     shifts = [r.shift for r in results if r.shift is not None]
     log(
         "bench: baseline %.2fs (%d matchTemplate calls, median shift %.4f)"
         % (seconds, calls[0], float(np.median(shifts)))
     )
-    with open(cache, "w") as handle:
-        json.dump({"seconds": seconds, "calls": calls[0]}, handle)
     return seconds
 
 
@@ -209,6 +263,8 @@ def main():
 
     ours = measure_ours(src_wav, dst_wav, script)
     worst = check_output_correctness()
+    search_seconds = measure_stages(src_wav, dst_wav, script)
+    season_seconds = measure_season(src_wav, dst_wav, script, episodes=4)
     baseline = measure_baseline(src_wav, dst_wav, script)
 
     result = {
@@ -220,6 +276,8 @@ def main():
         "events_per_second": round(EVENT_COUNT / ours, 1),
         "baseline_seconds": round(baseline, 3),
         "worst_line_error_seconds": round(worst, 4),
+        "search_stage_seconds": round(search_seconds, 3),
+        "season_4_episodes_seconds": round(season_seconds, 3),
     }
     print(json.dumps(result), flush=True)
 

@@ -55,6 +55,18 @@ def _next_pow2(value: int) -> int:
     return 1 << max(0, int(value - 1).bit_length())
 
 
+# device stream buffers are padded up to a multiple of this, because the
+# gather operand's length is baked into every compiled kernel shape —
+# quantizing it lets episodes of any length reuse the same executables
+_STREAM_QUANTUM = 1 << 24
+
+
+def pad_stream_for_device(data: np.ndarray) -> np.ndarray:
+    total = len(data) + _MAX_FFT
+    quantized = -(-total // _STREAM_QUANTUM) * _STREAM_QUANTUM
+    return np.pad(data, (0, quantized - len(data)))
+
+
 def window_bounds(
     dst: AudioStream, request: SearchRequest, pat_len: int
 ) -> Tuple[int, int, float]:
@@ -115,9 +127,10 @@ class DeviceMatcher:
         self._max_batch_elements = max_batch_elements
         # upload once in the native dtype (uint8 stays uint8 — 4x less
         # transfer; the kernel converts after gathering), padded by the
-        # largest slice any bucket can gather
-        self._src_dev = jnp.asarray(np.pad(src_stream.data, (0, _MAX_FFT)))
-        self._dst_dev = jnp.asarray(np.pad(dst_stream.data, (0, _MAX_FFT)))
+        # largest slice any bucket can gather and quantized so compiled
+        # shapes are shared across episodes of different lengths
+        self._src_dev = jnp.asarray(pad_stream_for_device(src_stream.data))
+        self._dst_dev = jnp.asarray(pad_stream_for_device(dst_stream.data))
         self._src_host = src_stream.data
         self._dst_host = dst_stream.data
 
@@ -218,20 +231,35 @@ def execute_planned(
                 slice_len=fft_size,
                 rescore_k=rescore_k,
             )
-            in_flight.append((chunk, scores, lags))
+            in_flight.append((chunk, scores[:b], lags[:b]))
+
+    # ONE device->host fetch for the whole round (each fetch is a full
+    # tunnel round-trip on remote TPU setups)
+    if not in_flight:
+        return {}
+    all_scores = np.asarray(jnp.concatenate([scores for _, scores, _ in in_flight]))
+    all_lags = np.asarray(jnp.concatenate([lags for _, _, lags in in_flight]))
 
     results: Dict[object, Tuple[float, float, int]] = {}
-    for chunk, scores, lags in in_flight:
-        scores = np.asarray(scores)
-        lags = np.asarray(lags)
+    cursor = 0
+    for chunk, _, _ in in_flight:
         for i, item in enumerate(chunk):
-            time = item.start_time + lags[i] / float(item.sample_rate)
-            results[item.key] = (float(scores[i]), float(time), item.win_start + int(lags[i]))
+            lag = int(all_lags[cursor + i])
+            time = item.start_time + lag / float(item.sample_rate)
+            results[item.key] = (float(all_scores[cursor + i]), float(time), item.win_start + lag)
+        cursor += len(chunk)
     return results
 
 
 def global_alignment_estimate(src: np.ndarray, dst: np.ndarray, pool: int = 64) -> int:
-    """Pooled whole-stream cross-correlation argmax on the host."""
+    """Whole-stream alignment estimate on the host, refined to the sample.
+
+    A pooled FFT cross-correlation finds the offset to ±pool samples; a
+    short direct search then pins it exactly.  Sample-exactness matters:
+    the replay predictor emulates kernel arithmetic bit-for-bit, so an
+    exact seed lets round-1 predictions equal the real results on clean
+    audio and the search converge with almost no round-2 re-requests.
+    """
 
     def pooled(stream):
         trimmed = (
@@ -250,7 +278,19 @@ def global_alignment_estimate(src: np.ndarray, dst: np.ndarray, pool: int = 64) 
     peak = int(np.argmax(corr))
     if peak > fft_size // 2:  # upper-half lags are negative (circular corr)
         peak -= fft_size
-    return peak * pool
+    coarse = peak * pool
+
+    # refine with a direct search of a mid-stream probe slice
+    probe_len = 18000
+    probe_start = len(src) // 2
+    lo = probe_start + coarse - 2 * pool
+    hi = probe_start + probe_len + coarse + 2 * pool
+    if probe_start + probe_len > len(src) or lo < 0 or hi > len(dst):
+        return coarse
+    probe = src[probe_start : probe_start + probe_len].astype(np.float32)
+    region = dst[lo:hi].astype(np.float32)
+    _, lag = sqdiff.oracle_match(probe, region)
+    return (lo + lag) - probe_start
 
 
 class OracleMatcher:

@@ -35,6 +35,7 @@ from sushi_tpu.align.batcher import (
     PlannedSearch,
     SearchSession,
     execute_planned,
+    global_alignment_estimate,
     run_sessions,
     window_bounds,
 )
@@ -121,7 +122,13 @@ def sync_season(
             max_ts_distance=max_ts_distance,
         )
         session = SearchSession(
-            src_stream, dst_stream, groups, window, max_window, rewind_thresh
+            src_stream,
+            dst_stream,
+            groups,
+            window,
+            max_window,
+            rewind_thresh,
+            delta0=global_alignment_estimate(src_stream.data, dst_stream.data),
         )
         episodes.append(
             _Episode(
@@ -143,8 +150,11 @@ def sync_season(
         dst_cursor += len(dst_stream.data) + _MAX_FFT
     _log.info("season: %d episodes ingested in %.2fs", len(jobs), time.time() - started)
 
-    src_dev = jnp.asarray(np.concatenate(src_parts))
-    dst_dev = jnp.asarray(np.concatenate(dst_parts))
+    from sushi_tpu.align.batcher import pad_stream_for_device
+
+    # quantized padding so compiled kernel shapes are reused across seasons
+    src_dev = jnp.asarray(pad_stream_for_device(np.concatenate(src_parts)))
+    dst_dev = jnp.asarray(pad_stream_for_device(np.concatenate(dst_parts)))
 
     by_session = {episode.session: episode for episode in episodes}
 
