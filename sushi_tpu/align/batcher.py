@@ -79,12 +79,17 @@ def window_bounds(
     return start_sample, end_sample - start_sample, start_time
 
 
-def stream_to_f32(stream: AudioStream) -> np.ndarray:
-    """Analysis buffer as float32; uint8 buffers scale to [0, 1] (the
+def stream_to_f32_view(data: np.ndarray) -> np.ndarray:
+    """Raw analysis samples as float32; uint8 scales to [0, 1] (the
     SQDIFF_NORMED score is scale-invariant, verified against cv2)."""
-    if stream.data.dtype == np.uint8:
-        return stream.data.astype(np.float32) / np.float32(255.0)
-    return stream.data.astype(np.float32)
+    if data.dtype == np.uint8:
+        return data.astype(np.float32) / np.float32(255.0)
+    return data.astype(np.float32)
+
+
+def stream_to_f32(stream: AudioStream) -> np.ndarray:
+    """Analysis buffer as float32 (see stream_to_f32_view)."""
+    return stream_to_f32_view(stream.data)
 
 
 class PatternTable:
@@ -157,7 +162,12 @@ class DeviceMatcher:
         """Run all requests on device; returns {request: (score, time, abs)}."""
         planned = [self.plan(request, request) for request in requests]
         return execute_planned(
-            self._src_dev, self._dst_dev, planned, self._rescore_k, self._max_batch_elements
+            self._src_dev,
+            self._dst_dev,
+            planned,
+            self._rescore_k,
+            self._max_batch_elements,
+            host_fallback=(self._src_host, self._dst_host),
         )
 
     def global_alignment_estimate(self) -> int:
@@ -194,6 +204,7 @@ def execute_planned(
     planned: Sequence[PlannedSearch],
     rescore_k: int = 16,
     max_batch_elements: int = _MAX_BATCH_ELEMENTS,
+    host_fallback: Optional[Tuple[np.ndarray, np.ndarray]] = None,
 ) -> Dict[object, Tuple[float, float, int]]:
     """Run planned searches as bucketed batched kernel calls.
 
@@ -205,11 +216,26 @@ def execute_planned(
     """
     import jax.numpy as jnp
 
+    results: Dict[object, Tuple[float, float, int]] = {}
     by_fft: Dict[int, List[PlannedSearch]] = {}
     for item in planned:
         fft_size = min(max(_next_pow2(item.win_len), _MIN_FFT), _MAX_FFT)
         if fft_size < item.win_len:
-            raise SushiError("search window too large for the device matcher")
+            # pathological request (pattern spanning minutes): run on host
+            if host_fallback is None:
+                raise SushiError("search window too large for the device matcher")
+            src_host, dst_host = host_fallback
+            pattern = src_host[item.pat_start : item.pat_start + item.pat_len]
+            window = dst_host[item.win_start : item.win_start + item.win_len]
+            score, lag = sqdiff.oracle_match(
+                stream_to_f32_view(pattern), stream_to_f32_view(window)
+            )
+            results[item.key] = (
+                score,
+                item.start_time + lag / float(item.sample_rate),
+                item.win_start + lag,
+            )
+            continue
         by_fft.setdefault(fft_size, []).append(item)
 
     in_flight = []
@@ -236,11 +262,10 @@ def execute_planned(
     # ONE device->host fetch for the whole round (each fetch is a full
     # tunnel round-trip on remote TPU setups)
     if not in_flight:
-        return {}
+        return results
     all_scores = np.asarray(jnp.concatenate([scores for _, scores, _ in in_flight]))
     all_lags = np.asarray(jnp.concatenate([lags for _, _, lags in in_flight]))
 
-    results: Dict[object, Tuple[float, float, int]] = {}
     cursor = 0
     for chunk, _, _ in in_flight:
         for i, item in enumerate(chunk):

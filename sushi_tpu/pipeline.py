@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import logging
 import os
+import time as _time
 from typing import List, Optional
 
 from sushi_tpu.align import heuristics, snapping
@@ -187,6 +188,8 @@ def run(args) -> None:
             if script_extension == ".ass"
             else SrtScript.from_file(src_script_path)
         )
+        if not script.events:
+            raise SushiError("script contains no events")
         script.sort_by_time()
 
         src_stream = AudioStream(src_audio_path, sample_rate=args.sample_rate, sample_type=args.sample_type)
@@ -200,6 +203,7 @@ def run(args) -> None:
             max_ts_distance=args.max_ts_distance,
         )
 
+        search_started = _time.time()
         calculate_shifts(
             src_stream,
             dst_stream,
@@ -207,6 +211,9 @@ def run(args) -> None:
             normal_window=args.window,
             max_window=args.max_window,
             rewind_thresh=args.rewind_thresh if args.grouping else 0,
+        )
+        _log.info(
+            "Shift search done in %fs (%d groups)", _time.time() - search_started, len(search_groups)
         )
 
         events = script.events

@@ -153,8 +153,10 @@ def sync_season(
     from sushi_tpu.align.batcher import pad_stream_for_device
 
     # quantized padding so compiled kernel shapes are reused across seasons
-    src_dev = jnp.asarray(pad_stream_for_device(np.concatenate(src_parts)))
-    dst_dev = jnp.asarray(pad_stream_for_device(np.concatenate(dst_parts)))
+    src_host = np.concatenate(src_parts)
+    dst_host = np.concatenate(dst_parts)
+    src_dev = jnp.asarray(pad_stream_for_device(src_host))
+    dst_dev = jnp.asarray(pad_stream_for_device(dst_host))
 
     by_session = {episode.session: episode for episode in episodes}
 
@@ -175,7 +177,7 @@ def sync_season(
                     sample_rate=episode.dst_stream.sample_rate,
                 )
             )
-        raw = execute_planned(src_dev, dst_dev, planned)
+        raw = execute_planned(src_dev, dst_dev, planned, host_fallback=(src_host, dst_host))
         # translate absolute samples back to episode-local buffer indices
         # (the predictor's alignment table is episode-local)
         return {

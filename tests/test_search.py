@@ -156,3 +156,31 @@ def test_corrupted_segment_parity(tmp_path):
     # the clean groups still recover the true shift
     assert device[0].shift == pytest.approx(1.25, abs=2e-3)
     assert device[-1].shift == pytest.approx(1.25, abs=2e-3)
+
+
+def test_oversized_pattern_falls_back_to_host(tmp_path, monkeypatch):
+    # a group whose window exceeds the device matcher's max FFT must route
+    # through the host oracle fallback (cap shrunk so the fixture stays small)
+    import sushi_tpu.align.batcher as batcher_mod
+
+    monkeypatch.setattr(batcher_mod, "_MAX_FFT", 1 << 18)  # ~21s at 12kHz
+    events = [(1.0, 25.0), (27.0, 28.5)]
+    src, dst = make_pair(str(tmp_path), 30.0, [(2.0, 3.5), (15.0, 16.5), (27.0, 28.5)],
+                         dst_shift=0.75, seed=12)
+    groups = make_groups(events)
+    results = calculate_shifts(src, dst, groups, 10, 30, 5)
+    assert results[0].shift == pytest.approx(0.75, abs=2e-3)  # 24s pattern via host
+    assert results[1].shift == pytest.approx(0.75, abs=2e-3)  # small group via device
+
+
+def test_empty_script_raises(tmp_path):
+    from sushi_tpu.errors import SushiError
+    from tests.test_pipeline import run_cli
+    from tests.fixtures import synth_episode, write_wav_int16
+
+    audio = synth_episode(5.0, [(1.0, 2.0)], seed=1)
+    write_wav_int16(str(tmp_path / "a.wav"), audio)
+    (tmp_path / "empty.srt").write_text("", encoding="utf-8")
+    with pytest.raises(SushiError, match="no events"):
+        run_cli(["--src", str(tmp_path / "a.wav"), "--dst", str(tmp_path / "a.wav"),
+                 "--script", str(tmp_path / "empty.srt")])
