@@ -187,6 +187,13 @@ def match_padded_batch(
     coarse = coarse_scores(patterns, pat_lens, windows, win_lens, fft_size)
     _, candidates = jax.lax.top_k(-coarse, rescore_k)  # ties -> lower lag first
     candidates = candidates.astype(jnp.int32)
+    # score plateaus (constant audio regions) can be wider than K, hiding
+    # the EARLIEST minimal lag that cv2's first-min rule would return; add
+    # the first lag within a hair of the coarse minimum as a candidate so
+    # the exact tie-break can pick it
+    coarse_min = jnp.min(coarse, axis=1, keepdims=True)
+    first_near_min = jnp.argmax(coarse <= coarse_min + 1e-4, axis=1).astype(jnp.int32)
+    candidates = jnp.concatenate([first_near_min[:, None], candidates], axis=1)
 
     num, energy = _rescore_auto(patterns, pat_lens, windows, candidates)
     pat_energy = jnp.sum(patterns * patterns, axis=1, keepdims=True)

@@ -1,0 +1,151 @@
+#!/usr/bin/env python3
+"""Randomized exactness soak: device search vs the sequential float64 oracle.
+
+Generates random episodes — shifts (including negative and >window jumps),
+noise levels, corrupted spans, truncated destinations — and checks that the
+batched device search reproduces the sequential oracle run's decisions:
+the same groups fail, and successful shifts agree within ±1 analysis
+sample.  This is the strongest evidence that speculative-replay batching
+preserves the reference algorithm's behavior on arbitrary inputs.
+
+Usage: python tools/soak.py [iterations] [--seed N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def random_fixture(rng, tmp):
+    from tests.fixtures import shift_audio, synth_episode, write_wav_int16
+
+    duration = rng.uniform(20, 50)
+    count = rng.randint(4, 12)
+    starts = np.sort(rng.uniform(2.0, duration - 4.0, count))
+    events = []
+    for s in starts:
+        if events and s < events[-1][1] + 0.4:
+            continue
+        events.append((float(s), float(s + rng.uniform(0.8, 2.5))))
+
+    shift = float(rng.uniform(-3.0, 6.0))
+    audio = synth_episode(duration, events, seed=rng.randint(1 << 30))
+    dst_audio = shift_audio(audio, shift)
+    dst_audio = (
+        dst_audio.astype(np.int32) + rng.randint(-int(rng.uniform(50, 400)), 400, len(dst_audio))
+    ).astype(np.int16)
+
+    scenario = rng.choice(["plain", "corrupt", "truncated", "jump"])
+    if scenario == "corrupt" and len(events) > 3:
+        a, b = events[1][0], events[min(3, len(events) - 1)][1]
+        lo = max(0, int((a + shift) * 48000))
+        hi = min(len(dst_audio), int((b + shift) * 48000))
+        dst_audio[lo:hi] = rng.randint(-9000, 9000, hi - lo)
+    elif scenario == "truncated":
+        dst_audio = dst_audio[: int(len(dst_audio) * rng.uniform(0.4, 0.8))]
+    elif scenario == "jump" and len(events) > 4:
+        cut = int((events[len(events) // 2][0] - 1.0 + shift) * 48000)
+        if 0 < cut < len(dst_audio):
+            gap = rng.randint(-300, 300, int(rng.uniform(11, 16) * 48000)).astype(np.int16)
+            dst_audio = np.concatenate([dst_audio[:cut], gap, dst_audio[cut:]])
+
+    src_path = os.path.join(tmp, "src.wav")
+    dst_path = os.path.join(tmp, "dst.wav")
+    write_wav_int16(src_path, audio)
+    write_wav_int16(dst_path, dst_audio)
+    return src_path, dst_path, events, shift, scenario
+
+
+def run_iteration(rng, index):
+    from sushi_tpu.align.batcher import DeviceMatcher, OracleMatcher, calculate_shifts, groups_to_spans
+    from sushi_tpu.align import machine
+    from sushi_tpu.media.stream import AudioStream
+    from sushi_tpu.text.subs import ScriptEvent
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src_path, dst_path, events, shift, scenario = random_fixture(rng, tmp)
+        src = AudioStream(src_path, 12000, "uint8")
+        dst = AudioStream(dst_path, 12000, "uint8")
+
+        def groups():
+            return [[ScriptEvent(i + 1, s, e, "x")] for i, (s, e) in enumerate(events)]
+
+        spans = groups_to_spans(groups(), src)
+        matcher = DeviceMatcher(src, dst, spans)
+
+        # contract 1 (hard): speculative-replay batching produces exactly the
+        # shifts a sequential drive of the same kernel produces (scores may
+        # differ in the last ULP — XLA reduction order varies with the
+        # compiled batch shape — but shifts, i.e. decisions, must be equal)
+        device_sequential = machine.run_search(
+            spans, dst.duration_seconds, dst.sample_rate,
+            lambda request: matcher.execute([request])[request][:2], 10, 30, 5,
+        )
+        device_batched = calculate_shifts(src, dst, groups(), 10, 30, 5, matcher=matcher)
+
+        mismatches = []
+        for g, (bat, seq) in enumerate(zip(device_batched, device_sequential)):
+            score_gap = abs((bat.diff or 0) - (seq.diff or 0))
+            if bat.shift != seq.shift or score_gap > 1e-6:
+                mismatches.append((g, bat.shift, seq.shift, "batching"))
+
+        # contract 2 (soft on plateaus): vs the float64 oracle, shifts agree
+        # within ±1 sample OR the picks are equal-quality (score ties broken
+        # arbitrarily by FFT noise in constant/pad regions — the oracle's own
+        # pick is arbitrary there, as is cv2's)
+        oracle = OracleMatcher(src, dst, spans)
+        oracle_run = machine.run_search(
+            spans, dst.duration_seconds, dst.sample_rate,
+            lambda request: oracle.find(request)[:2], 10, 30, 5,
+        )
+        for g, (bat, orc) in enumerate(zip(device_batched, oracle_run)):
+            if (bat.shift is None) != (orc.shift is None):
+                mismatches.append((g, bat.shift, orc.shift, "fail-state"))
+            elif bat.shift is not None and abs(bat.shift - orc.shift) > 1.5 / 12000.0:
+                if abs((bat.diff or 0) - (orc.diff or 0)) > 1e-5:
+                    mismatches.append((g, bat.shift, orc.shift, "value"))
+
+        status = "OK" if not mismatches else "MISMATCH"
+        logging.info(
+            "soak %03d: %-9s shift=%+.3f events=%d -> %s",
+            index, scenario, shift, len(events), status,
+        )
+        for g, a, b, kind in mismatches:
+            logging.error("  group %d: batched=%s other=%s (%s)", g, a, b, kind)
+        return not mismatches
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("iterations", nargs="?", type=int, default=10)
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args()
+
+    logging.basicConfig(level=logging.INFO, format="%(message)s")
+    logging.getLogger("sushi_tpu").setLevel(logging.ERROR)
+
+    rng = np.random.RandomState(args.seed)
+    started = time.time()
+    failures = 0
+    for index in range(args.iterations):
+        if not run_iteration(rng, index):
+            failures += 1
+    logging.info(
+        "soak done: %d/%d ok in %.1fs", args.iterations - failures, args.iterations,
+        time.time() - started,
+    )
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
