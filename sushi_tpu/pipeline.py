@@ -204,14 +204,15 @@ def run(args) -> None:
         )
 
         search_started = _time.time()
-        calculate_shifts(
-            src_stream,
-            dst_stream,
-            search_groups,
-            normal_window=args.window,
-            max_window=args.max_window,
-            rewind_thresh=args.rewind_thresh if args.grouping else 0,
-        )
+        with _device_trace():
+            calculate_shifts(
+                src_stream,
+                dst_stream,
+                search_groups,
+                normal_window=args.window,
+                max_window=args.max_window,
+                rewind_thresh=args.rewind_thresh if args.grouping else 0,
+            )
         _log.info(
             "Shift search done in %fs (%d groups)", _time.time() - search_started, len(search_groups)
         )
@@ -304,6 +305,20 @@ def _fmt_time(seconds: float) -> str:
     from sushi_tpu.text.timefmt import format_ass_time
 
     return format_ass_time(seconds)
+
+
+def _device_trace():
+    """Optional device profiling: set SUSHI_PROFILE_DIR to capture a
+    jax.profiler trace of the search stage (view with TensorBoard)."""
+    import contextlib
+
+    profile_dir = os.environ.get("SUSHI_PROFILE_DIR")
+    if not profile_dir:
+        return contextlib.nullcontext()
+    import jax
+
+    _log.info("Writing device profile trace to %s", profile_dir)
+    return jax.profiler.trace(profile_dir)
 
 
 class _ShiftPlot:

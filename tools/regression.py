@@ -131,6 +131,16 @@ def make_fixtures(base: str) -> str:
     write_wav_int16(os.path.join(base, "ep.src.wav"), audio)
     write_wav_int16(os.path.join(base, "ep.dst.wav"), dst_audio)
 
+    # a second destination with a 15s insertion near 150s: exercises the
+    # window-escalation/rewind recovery path end to end.  The insertion
+    # lands mid-gap between two events so no line straddles the cut.
+    gap_index = next(i for i, (s, _) in enumerate(events) if s > 150.0)
+    cut_time = (events[gap_index - 1][1] + events[gap_index][0]) / 2.0
+    jump_at = int((cut_time + shift) * 48000)
+    insertion = rng.randint(-300, 300, 15 * 48000).astype(np.int16)
+    jump_audio = np.concatenate([dst_audio[:jump_at], insertion, dst_audio[jump_at:]])
+    write_wav_int16(os.path.join(base, "ep.jump.wav"), jump_audio)
+
     lines = [(s, e, "line %d" % i) for i, (s, e) in enumerate(events)]
     write_srt(os.path.join(base, "ep.srt"), lines)
     write_ass(os.path.join(base, "ep.ass"), lines)
@@ -142,6 +152,13 @@ def make_fixtures(base: str) -> str:
             event.set_shift(shift, 0.0)
             event.apply_shift()
         script.save_to_file(os.path.join(base, "ep.ideal" + ext))
+
+    # jump ideal: +15s extra after the insertion point
+    script = load_script(os.path.join(base, "ep.srt"))
+    for event in script.events:
+        event.set_shift(shift + (15.0 if event.start >= cut_time else 0.0), 0.0)
+        event.apply_shift()
+    script.save_to_file(os.path.join(base, "ep.jump.ideal.srt"))
 
     config = {
         "tests": [
@@ -156,6 +173,9 @@ def make_fixtures(base: str) -> str:
             {"name": "srt-no-grouping", "src": "ep.src.wav", "dst": "ep.dst.wav",
              "script": "ep.srt", "ideal": "ep.ideal.srt", "expected_errors": 0,
              "fps": 23.976, "extra_args": ["--no-grouping"]},
+            {"name": "srt-15s-jump-recovery", "src": "ep.src.wav", "dst": "ep.jump.wav",
+             "script": "ep.srt", "ideal": "ep.jump.ideal.srt", "expected_errors": 0,
+             "fps": 23.976},
         ],
         "wav_tests": [
             {"name": "wav-load-budget", "path": "ep.src.wav", "max_time": 0.7, "max_memory": 120}
