@@ -169,6 +169,43 @@ def measure_season(src_wav, dst_wav, script, episodes=4):
     return elapsed
 
 
+def measure_kernel_throughput():
+    """Device-only kernel throughput: batched searches per second at the
+    standard bucket shapes (no host, no transfers — pure device rate)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from sushi_tpu.ops import sqdiff
+
+    rng = np.random.RandomState(0)
+    stream = jnp.asarray(rng.randint(0, 256, 1 << 25).astype(np.uint8))
+    report = []
+    for fft_size, batch in ((131072, 128), (524288, 128)):
+        starts = jnp.asarray(rng.randint(0, 1 << 24, batch).astype(np.int32))
+        pat_lens = jnp.asarray(np.full(batch, 30000, np.int32))
+        win_lens = jnp.asarray(np.full(batch, fft_size - 4096, np.int32))
+        def run():
+            scores, lags = sqdiff.match_from_streams(
+                stream, stream, starts, pat_lens, starts, win_lens,
+                fft_size=fft_size, slice_len=fft_size,
+            )
+            # fetch: block_until_ready can be a no-op on relayed backends
+            return np.asarray(scores), np.asarray(lags)
+
+        run()
+        t0 = time.time()
+        iterations = 5
+        for _ in range(iterations):
+            run()
+        per_batch = (time.time() - t0) / iterations
+        report.append(
+            "n=%d: %.1fms/batch-of-%d (%.0f searches/s)"
+            % (fft_size, per_batch * 1e3, batch, batch / per_batch)
+        )
+    log("bench: kernel-only throughput — " + "; ".join(report))
+
+
 def measure_baseline(src_wav, dst_wav, script):
     """Reference engine: sequential cv2.matchTemplate through the same
     state machine and heuristics.  Measured fresh on every bench run so
@@ -263,6 +300,7 @@ def main():
 
     ours = measure_ours(src_wav, dst_wav, script)
     worst = check_output_correctness()
+    measure_kernel_throughput()
     search_seconds = measure_stages(src_wav, dst_wav, script)
     season_seconds = measure_season(src_wav, dst_wav, script, episodes=4)
     baseline = measure_baseline(src_wav, dst_wav, script)

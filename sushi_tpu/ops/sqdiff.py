@@ -185,8 +185,19 @@ def match_padded_batch(
     below 1.0, matching cv2's argmin over an all-ones row).
     """
     coarse = coarse_scores(patterns, pat_lens, windows, win_lens, fft_size)
-    _, candidates = jax.lax.top_k(-coarse, rescore_k)  # ties -> lower lag first
-    candidates = candidates.astype(jnp.int32)
+    # hierarchical candidate selection: a full top_k over n lags lowers to a
+    # sort (hundreds of ms at n=2^19); instead take each 128-lane block's
+    # first minimum, then top_k over the n/128 block minima.  The true
+    # argmin is always some block's winner; intra-block near-ties only
+    # matter for first-lag tie-breaking, which the plateau candidate below
+    # preserves.
+    blocks = coarse.reshape(coarse.shape[0], -1, _LANES)
+    block_min = jnp.min(blocks, axis=2)
+    block_arg = jnp.argmin(blocks, axis=2).astype(jnp.int32)  # first-in-block
+    effective_k = min(rescore_k, block_min.shape[1])
+    _, block_ids = jax.lax.top_k(-block_min, effective_k)  # ties -> lower block
+    block_ids = block_ids.astype(jnp.int32)
+    candidates = block_ids * _LANES + jnp.take_along_axis(block_arg, block_ids, axis=1)
     # score plateaus (constant audio regions) can be wider than K, hiding
     # the EARLIEST minimal lag that cv2's first-min rule would return; add
     # the first lag within a hair of the coarse minimum as a candidate so

@@ -252,3 +252,59 @@ def test_prepare_search_groups_links_nested_groups():
     )
     assert len(groups) == 1
     assert events[1].linked
+
+
+# --- keyframe shift/distance helpers -----------------------------------------
+
+
+class _FakeTimecodes:
+    def __init__(self, frame_size=1.0 / 24):
+        self._size = frame_size
+
+    def get_frame_size(self, timestamp):
+        return self._size
+
+
+def _kf_event(start, end, shift):
+    event = FakeEvent(start=start, end=end)
+    event.set_shift(shift, 0.1)
+    # duck-type the shifted_* properties snapping reads
+    FakeEvent.shifted_start = property(lambda self: self.start + self.shift)
+    FakeEvent.shifted_end = property(lambda self: self.end + self.shift)
+    return event
+
+
+def test_find_keyframe_shift_within_limit():
+    from sushi_tpu.align.snapping import find_keyframe_shift
+
+    tc = _FakeTimecodes()
+    event = _kf_event(10.0, 12.0, 2.0)
+    # src keyframes exactly at start/end+frame; dst keyframes one frame later
+    src_keys = [10.0, 12.0 + 1.0 / 24]
+    dst_keys = [12.0 + 1.0 / 24, 14.0 + 2.0 / 24]
+    start_shift, end_shift = find_keyframe_shift([event], src_keys, dst_keys, tc, tc, max_kf_distance=2)
+    assert start_shift == pytest.approx(1.0 / 24)
+    assert end_shift == pytest.approx(1.0 / 24)
+
+
+def test_find_keyframe_shift_beyond_limit_is_none():
+    from sushi_tpu.align.snapping import find_keyframe_shift
+
+    tc = _FakeTimecodes()
+    event = _kf_event(10.0, 12.0, 2.0)
+    # dst keyframe half a second away: beyond 2 frames at 24fps
+    start_shift, end_shift = find_keyframe_shift(
+        [event], [10.0, 12.5], [12.5, 15.0], tc, tc, max_kf_distance=2
+    )
+    assert start_shift is None
+
+
+def test_find_keyframes_distances_zero_outside_limit():
+    from sushi_tpu.align.snapping import find_keyframes_distances
+
+    tc = _FakeTimecodes()
+    event = _kf_event(10.0, 12.0, 2.0)
+    ds, de = find_keyframes_distances(event, [10.02], [12.03], tc, max_kf_distance=2)
+    assert ds == pytest.approx(0.01, abs=1e-9)
+    far = find_keyframes_distances(event, [5.0], [9.0], tc, max_kf_distance=2)
+    assert far == (0, 0)
