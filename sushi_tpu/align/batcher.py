@@ -7,18 +7,21 @@ decisions bit-exact but execute on TPU in a handful of large batches via
 **speculative replay**:
 
 1. replay the (deterministic) state machine against a memo of real results;
-2. on a memo miss, record the request and answer with a self-fulfilling
-   prediction ("pattern found exactly at the search center", i.e. the
-   shift chain continues unchanged) so the replay keeps generating the
-   requests the real run would need if the chain stays constant;
+2. on a memo miss, record the request and answer with a *grid-snapped
+   prediction*: per group, a table of the absolute destination sample
+   where the pattern was actually found (seeded by a sample-exact
+   whole-stream host correlation, updated from real results each round)
+   drives an emulation of the kernel's integer arithmetic — so on clean
+   audio the predicted result equals the real one bit-for-bit and the
+   replayed request keys stay stable across rounds;
 3. execute all recorded requests as bucketed device batches, fill the memo,
    and replay again.
 
 A replay with zero misses used only real kernel results, so its output is
 identical to running the reference loop sequentially.  Each round resolves
-at least the first miss, and because shift chains are piecewise constant,
-typical episodes converge in ~4 rounds (a handful of device dispatches
-instead of thousands).
+at least the first miss; in practice a clean episode converges in ONE
+device round, with extra rounds only for per-group jitter, shift changes,
+or rewind escalation.
 
 Requests are bucketed by FFT size (next power of two covering the window)
 and padded to a few batch-size buckets so the jitted kernel compiles a
@@ -28,6 +31,7 @@ small, reusable set of shapes.
 from __future__ import annotations
 
 import logging
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -182,10 +186,7 @@ class DeviceMatcher:
         return global_alignment_estimate(self._src_host, self._dst_host)
 
 
-from dataclasses import dataclass as _dataclass
-
-
-@_dataclass(frozen=True)
+@dataclass(frozen=True)
 class PlannedSearch:
     """One search resolved to absolute device-buffer sample ranges."""
 
