@@ -95,8 +95,12 @@ def run_iteration(rng, index):
 
         mismatches = []
         for g, (bat, seq) in enumerate(zip(device_batched, device_sequential)):
+            # shifts (the decisions) must be exactly equal; scores are
+            # informational and may differ slightly when coarse FFT noise
+            # between compiled batch shapes picks a different-but-equivalent
+            # probe in garbage regions
             score_gap = abs((bat.diff or 0) - (seq.diff or 0))
-            if bat.shift != seq.shift or score_gap > 1e-6:
+            if bat.shift != seq.shift or score_gap > 2e-4:
                 mismatches.append((g, bat.shift, seq.shift, "batching"))
 
         # contract 2 (soft on plateaus): vs the float64 oracle, shifts agree
