@@ -79,7 +79,10 @@ def window_bounds(
     start_time = _clip(request.center - request.window, -PADDING_SECONDS, dst.duration_seconds)
     end_time = _clip(request.center + request.window, 0, dst.duration_seconds + PADDING_SECONDS)
     start_sample = dst.sample_for_time(start_time)
-    end_sample = dst.sample_for_time(end_time) + pat_len
+    # the reference slices a NumPy array (wav.py:184), which clamps the end
+    # to the real buffer; without this the device gather would read fabricated
+    # zeros past the buffer and admit phantom lags the reference never sees
+    end_sample = min(dst.sample_for_time(end_time) + pat_len, len(dst.data))
     return start_sample, end_sample - start_sample, start_time
 
 

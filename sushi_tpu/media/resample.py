@@ -11,12 +11,21 @@ gather so per-line shifts stay within ±1 sample of the reference.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 
 def nearest_resize_length(source_length: int, rate: float) -> int:
-    """Destination length for one chunk: ``int(round(N * rate))``."""
-    return int(round(source_length * rate))
+    """Destination length for one chunk: Python-2 ``int(round(N * rate))``.
+
+    The reference ran on Python 2, where ``round`` is half-away-from-zero;
+    the native ingest path (native/wavio.cpp ``llround``) matches that.
+    Python 3's banker's rounding would differ by one tail sample whenever
+    ``N * rate`` lands exactly on .5, so round half up explicitly
+    (non-negative input).
+    """
+    return int(math.floor(source_length * rate + 0.5))
 
 
 def nearest_indices(source_length: int, dest_length: int) -> np.ndarray:

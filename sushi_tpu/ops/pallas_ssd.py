@@ -11,9 +11,12 @@ multiply-accumulate per candidate, O(B*n) HBM traffic total.
 Semantics are identical to ``sqdiff._rescore_candidates``:
     num[b, k]    = sum_{i < pat_len[b]} (pattern[b, i] - window[b, lag+i])^2
     energy[b, k] = sum_{i < pat_len[b]} window[b, lag+i]^2
-with lag = candidate_lags[b, k]; candidates always satisfy
-lag + pat_len <= win_len <= n, so the roll's wraparound never lands inside
-the masked region.
+with lag = candidate_lags[b, k].  Out-of-range candidate lags (lag +
+pat_len > win_len, e.g. the padded/invalid block candidates that
+``match_padded_batch`` passes when fewer valid lags exist than rescore_k)
+make the roll wrap into the masked region and produce *unspecified*
+num/energy values — callers must mask or invalidate such candidates
+afterwards, as ``match_padded_batch`` does.
 """
 
 from __future__ import annotations

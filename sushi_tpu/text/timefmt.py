@@ -3,9 +3,10 @@
 Behavioral parity notes (formats must round-trip byte-identically with the
 reference so retimed scripts diff cleanly):
 
-* ASS times are ``H:MM:SS.cc`` (centiseconds), rounded half-to-even on the
-  centisecond boundary exactly like the reference's ``format_time``
-  (/root/reference/common.py:32-38 — Python's ``round``).
+* ASS times are ``H:MM:SS.cc`` (centiseconds), rounded half away from zero
+  on the centisecond boundary exactly like the reference's ``format_time``
+  (/root/reference/common.py:32-38 — Python **2**'s ``round``; Python 3's
+  half-to-even would differ, see ``_round_half_up``).
 * SRT times are ``HH:MM:SS,mmm`` (milliseconds) per ``format_srt_time``
   (/root/reference/common.py:23-29).
 * Parsing accepts ``H:MM:SS.fract`` with any field widths, matching

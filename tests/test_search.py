@@ -173,6 +173,39 @@ def test_oversized_pattern_falls_back_to_host(tmp_path, monkeypatch):
     assert results[1].shift == pytest.approx(0.75, abs=2e-3)  # small group via device
 
 
+def test_window_clamps_to_buffer_at_destination_tail(tmp_path):
+    # The reference slices a NumPy array (wav.py:184), which clamps the
+    # window end to the real buffer.  With framerate == sample_rate the
+    # padding (10*framerate) exactly cancels the +10s end-time clip, so any
+    # tail search would otherwise gather pat_len fabricated zeros past the
+    # buffer and admit phantom lags the reference never sees.
+    from sushi_tpu.align.batcher import window_bounds
+    from sushi_tpu.align.machine import FULL, SearchRequest
+
+    events = [(2.0, 3.5), (9.0, 10.5), (16.0, 17.5)]
+    audio = synth_episode(19.0, events, seed=21, framerate=12000)
+    write_wav_int16(str(tmp_path / "src.wav"), audio, framerate=12000)
+    # destination truncated: ends right after the last event
+    write_wav_int16(str(tmp_path / "dst.wav"), audio[: int(18.0 * 12000)], framerate=12000)
+    src = AudioStream(str(tmp_path / "src.wav"), 12000, "uint8")
+    dst = AudioStream(str(tmp_path / "dst.wav"), 12000, "uint8")
+
+    # direct contract: a tail window never extends past the buffer
+    request = SearchRequest(group_idx=2, part=FULL, center=18.0, window=10.0)
+    pat_len = int(1.5 * 12000)
+    win_start, win_len, _ = window_bounds(dst, request, pat_len)
+    assert win_start + win_len == len(dst.data)  # clamped, not fabricated
+
+    sequential = run_sequential_oracle(src, dst, make_groups(events))
+    groups = make_groups(events)
+    device = calculate_shifts(src, dst, groups, 10, 30, 5)
+    for dev, seq in zip(device, sequential):
+        if seq.shift is None:
+            assert dev.shift is None
+        else:
+            assert dev.shift == pytest.approx(seq.shift, abs=SAMPLE_ERROR)
+
+
 def test_empty_script_raises(tmp_path):
     from sushi_tpu.errors import SushiError
     from tests.test_pipeline import run_cli
