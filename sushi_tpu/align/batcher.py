@@ -31,7 +31,9 @@ small, reusable set of shapes.
 from __future__ import annotations
 
 import logging
-from dataclasses import dataclass
+import math
+import time
+from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -49,6 +51,68 @@ _MAX_FFT = 1 << 22
 _BATCH_BUCKETS = (1, 8, 32, 128)
 # cap on B*n elements per device call to bound working-set memory
 _MAX_BATCH_ELEMENTS = 1 << 26
+
+
+@dataclass
+class RoundStats:
+    """Telemetry for one execute_planned call (one device round)."""
+
+    requests: int = 0
+    host_fallbacks: int = 0
+    dispatch_seconds: float = 0.0
+    fetch_seconds: float = 0.0
+    # {fft_size: [real_rows, padded_rows, chunks]}
+    buckets: Dict[int, List[int]] = field(default_factory=dict)
+    coarse_gflop: float = 0.0
+    gathered_bytes: int = 0
+
+    def record_chunk(self, fft_size: int, rows: int, padded_rows: int) -> None:
+        bucket = self.buckets.setdefault(fft_size, [0, 0, 0])
+        bucket[0] += rows
+        bucket[1] += padded_rows
+        bucket[2] += 1
+        # coarse pass: 3 real FFTs of length n (~2.5 n log2 n flop each)
+        # + O(n) elementwise per row; rescore adds ~K*3n MACs per row
+        self.coarse_gflop += padded_rows * (3 * 2.5 * fft_size * math.log2(fft_size)) / 1e9
+        self.gathered_bytes += padded_rows * fft_size * 2 * 4  # f32 pattern+window rows
+
+
+class Telemetry:
+    """Process-wide search-stage telemetry (read by bench.py)."""
+
+    def __init__(self) -> None:
+        self.rounds: List[RoundStats] = []
+
+    def reset(self) -> None:
+        self.rounds.clear()
+
+    def summary(self) -> Dict[str, object]:
+        total_requests = sum(r.requests for r in self.rounds)
+        dispatch = sum(r.dispatch_seconds for r in self.rounds)
+        fetch = sum(r.fetch_seconds for r in self.rounds)
+        gflop = sum(r.coarse_gflop for r in self.rounds)
+        device = dispatch + fetch
+        buckets: Dict[int, List[int]] = {}
+        for r in self.rounds:
+            for fft_size, (rows, padded, chunks) in r.buckets.items():
+                b = buckets.setdefault(fft_size, [0, 0, 0])
+                b[0] += rows
+                b[1] += padded
+                b[2] += chunks
+        return {
+            "rounds": len(self.rounds),
+            "requests": total_requests,
+            "host_fallbacks": sum(r.host_fallbacks for r in self.rounds),
+            "dispatch_seconds": round(dispatch, 4),
+            "fetch_seconds": round(fetch, 4),
+            "coarse_gflop": round(gflop, 3),
+            "device_gflops": round(gflop / device, 2) if device > 0 else 0.0,
+            "gathered_gb": round(sum(r.gathered_bytes for r in self.rounds) / 1e9, 3),
+            "buckets": {str(k): v for k, v in sorted(buckets.items())},
+        }
+
+
+TELEMETRY = Telemetry()
 
 
 def _clip(value: float, lo: float, hi: float) -> float:
@@ -69,6 +133,33 @@ def pad_stream_for_device(data: np.ndarray) -> np.ndarray:
     total = len(data) + _MAX_FFT
     quantized = -(-total // _STREAM_QUANTUM) * _STREAM_QUANTUM
     return np.pad(data, (0, quantized - len(data)))
+
+
+# device residency memo: {stream cache_key: device array}.  A warm sync of
+# an episode whose streams are already on device skips the host->device
+# transfer entirely (~0.3 s per 34 MB stream through a tunneled relay).
+_UPLOAD_MEMO: Dict[str, object] = {}
+_UPLOAD_MEMO_MAX = 6
+
+# {(src cache_key, dst cache_key): whole-stream alignment estimate}
+_DELTA0_MEMO: Dict[Tuple[str, str], int] = {}
+
+
+def upload_stream(stream: AudioStream):
+    """Device array for a stream's padded analysis buffer, memoized."""
+    import jax.numpy as jnp
+
+    key = getattr(stream, "cache_key", None)
+    if key is not None:
+        cached = _UPLOAD_MEMO.get(key)
+        if cached is not None and len(cached) >= len(stream.data):
+            return cached
+    device = jnp.asarray(pad_stream_for_device(stream.data))
+    if key is not None:
+        while len(_UPLOAD_MEMO) >= _UPLOAD_MEMO_MAX:
+            _UPLOAD_MEMO.pop(next(iter(_UPLOAD_MEMO)))
+        _UPLOAD_MEMO[key] = device
+    return device
 
 
 def window_bounds(
@@ -140,11 +231,15 @@ class DeviceMatcher:
         # upload once in the native dtype (uint8 stays uint8 — 4x less
         # transfer; the kernel converts after gathering), padded by the
         # largest slice any bucket can gather and quantized so compiled
-        # shapes are shared across episodes of different lengths
-        self._src_dev = jnp.asarray(pad_stream_for_device(src_stream.data))
-        self._dst_dev = jnp.asarray(pad_stream_for_device(dst_stream.data))
+        # shapes are shared across episodes of different lengths;
+        # re-uploads of a stream already resident on device are skipped
+        # via the process-wide upload memo
+        self._src_dev = upload_stream(src_stream)
+        self._dst_dev = upload_stream(dst_stream)
         self._src_host = src_stream.data
         self._dst_host = dst_stream.data
+        self._src_key = getattr(src_stream, "cache_key", None)
+        self._dst_key = getattr(dst_stream, "cache_key", None)
 
     # --- device buffers ----------------------------------------------------
 
@@ -184,9 +279,21 @@ class DeviceMatcher:
         content (i.e. ``dst[i + delta] ≈ src[i]``).  Used only to seed the
         speculative replay, so ±pool-width accuracy is plenty.  Runs on the
         host: the pooled arrays are tiny and a host FFT avoids a device
-        round-trip before the first real batch.
+        round-trip before the first real batch.  Memoized by stream content
+        identity — the estimate is a pure function of the two buffers.
         """
-        return global_alignment_estimate(self._src_host, self._dst_host)
+        memo_key = None
+        if self._src_key is not None and self._dst_key is not None:
+            memo_key = (self._src_key, self._dst_key)
+            cached = _DELTA0_MEMO.get(memo_key)
+            if cached is not None:
+                return cached
+        delta0 = global_alignment_estimate(self._src_host, self._dst_host)
+        if memo_key is not None:
+            while len(_DELTA0_MEMO) >= 64:
+                _DELTA0_MEMO.pop(next(iter(_DELTA0_MEMO)))
+            _DELTA0_MEMO[memo_key] = delta0
+        return delta0
 
 
 @dataclass(frozen=True)
@@ -220,6 +327,9 @@ def execute_planned(
     """
     import jax.numpy as jnp
 
+    stats = RoundStats(requests=len(planned))
+    TELEMETRY.rounds.append(stats)
+
     results: Dict[object, Tuple[float, float, int]] = {}
     by_fft: Dict[int, List[PlannedSearch]] = {}
     for item in planned:
@@ -228,6 +338,11 @@ def execute_planned(
             # pathological request (pattern spanning minutes): run on host
             if host_fallback is None:
                 raise SushiError("search window too large for the device matcher")
+            stats.host_fallbacks += 1
+            _log.warning(
+                "search window of %d samples exceeds the device FFT cap; "
+                "falling back to the host oracle (slow)", item.win_len,
+            )
             src_host, dst_host = host_fallback
             pattern = src_host[item.pat_start : item.pat_start + item.pat_len]
             window = dst_host[item.win_start : item.win_start + item.win_len]
@@ -242,6 +357,7 @@ def execute_planned(
             continue
         by_fft.setdefault(fft_size, []).append(item)
 
+    dispatch_started = time.perf_counter()
     in_flight = []
     for fft_size, items in sorted(by_fft.items()):
         max_b = max(1, min(max_batch_elements // fft_size, _BATCH_BUCKETS[-1]))
@@ -262,20 +378,26 @@ def execute_planned(
                 rescore_k=rescore_k,
             )
             in_flight.append((chunk, scores[:b], lags[:b]))
+            stats.record_chunk(fft_size, b, padded_b)
 
     # ONE device->host fetch for the whole round (each fetch is a full
     # tunnel round-trip on remote TPU setups)
     if not in_flight:
         return results
+    stats.dispatch_seconds = time.perf_counter() - dispatch_started
+    fetch_started = time.perf_counter()
     all_scores = np.asarray(jnp.concatenate([scores for _, scores, _ in in_flight]))
     all_lags = np.asarray(jnp.concatenate([lags for _, _, lags in in_flight]))
+    stats.fetch_seconds = time.perf_counter() - fetch_started
 
     cursor = 0
     for chunk, _, _ in in_flight:
         for i, item in enumerate(chunk):
             lag = int(all_lags[cursor + i])
-            time = item.start_time + lag / float(item.sample_rate)
-            results[item.key] = (float(all_scores[cursor + i]), float(time), item.win_start + lag)
+            found_time = item.start_time + lag / float(item.sample_rate)
+            results[item.key] = (
+                float(all_scores[cursor + i]), float(found_time), item.win_start + lag
+            )
         cursor += len(chunk)
     return results
 

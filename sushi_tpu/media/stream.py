@@ -45,6 +45,10 @@ _SAMPLE_TYPES = ("float32", "uint8")
 class AudioStream:
     """A mono analysis-rate audio buffer with symmetric edge padding."""
 
+    # set by stream_cache.load_stream: identity of the prepared buffer,
+    # used to memoize device uploads (align/batcher) and disk reads
+    cache_key = None
+
     def __init__(
         self,
         path: str,

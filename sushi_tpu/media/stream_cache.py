@@ -1,0 +1,173 @@
+"""Analysis-buffer memoization and parallel stream ingest.
+
+The analysis buffer is a deterministic pure function of (WAV bytes,
+sample_rate, sample_type), but decoding + downsampling + normalizing a
+24-minute episode costs ~0.5 s per stream even through the fused C++ path.
+The reference re-pays that on every run (/root/reference/wav.py:108-162 has
+no cache; its regression harness budgets 0.7 s per load,
+regression-tests.py:140-158).  We memoize the finished buffer to disk keyed
+by the source file's identity (path, size, mtime) so repeat syncs skip the
+decode entirely, and ingest the src/dst pair on two threads when cold (the
+native ctypes call releases the GIL).
+
+Cache layout: ``<dir>/<key>.npy`` (the buffer) and ``<key>.meta.json``
+(sample_count / rate / padding).  The directory is bounded by
+``_MAX_ENTRIES`` (LRU by file mtime).  Disable with SUSHI_STREAM_CACHE=off;
+relocate with SUSHI_STREAM_CACHE=<dir>.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import logging
+import os
+import tempfile
+import time
+from concurrent.futures import ThreadPoolExecutor
+from typing import Optional, Tuple
+
+import numpy as np
+
+from sushi_tpu.media.stream import AudioStream
+
+_log = logging.getLogger("sushi_tpu")
+
+_FORMAT_VERSION = 1
+_MAX_ENTRIES = 24
+
+
+def cache_dir() -> Optional[str]:
+    configured = os.environ.get("SUSHI_STREAM_CACHE")
+    if configured == "off":
+        return None
+    if configured:
+        return configured
+    return os.path.join(os.path.expanduser("~"), ".cache", "sushi_tpu", "streams")
+
+
+def stream_key(path: str, sample_rate: int, sample_type: str) -> Optional[str]:
+    """Identity of the prepared buffer; None if the file can't be stat'd."""
+    try:
+        stat = os.stat(path)
+    except OSError:
+        return None
+    raw = json.dumps(
+        [
+            _FORMAT_VERSION,
+            os.path.abspath(path),
+            stat.st_size,
+            stat.st_mtime_ns,
+            sample_rate,
+            sample_type,
+        ]
+    )
+    return hashlib.sha256(raw.encode()).hexdigest()[:32]
+
+
+def _from_parts(
+    data: np.ndarray, sample_rate: int, sample_count: int, padding_size: int, key: Optional[str]
+) -> AudioStream:
+    stream = AudioStream.__new__(AudioStream)
+    stream.data = data
+    stream.sample_rate = sample_rate
+    stream.sample_count = sample_count
+    stream.padding_size = padding_size
+    stream.cache_key = key
+    return stream
+
+
+def _try_read(directory: str, key: str) -> Optional[AudioStream]:
+    buffer_path = os.path.join(directory, key + ".npy")
+    meta_path = os.path.join(directory, key + ".meta.json")
+    try:
+        with open(meta_path, "r", encoding="utf-8") as handle:
+            meta = json.load(handle)
+        # memory-map: a warm sync whose device buffers are already resident
+        # barely touches the host buffer, so don't pay a full read up front
+        data = np.load(buffer_path, mmap_mode="r")
+        now = time.time()
+        os.utime(buffer_path, (now, now))  # LRU touch
+    except (OSError, ValueError, KeyError):
+        return None
+    if len(data) != int(meta["buffer_len"]):
+        return None
+    return _from_parts(
+        data, int(meta["sample_rate"]), int(meta["sample_count"]), int(meta["padding_size"]), key
+    )
+
+
+def _write(directory: str, key: str, stream: AudioStream) -> None:
+    try:
+        os.makedirs(directory, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=directory, suffix=".npy.tmp")
+        os.close(fd)
+        np.save(tmp, stream.data, allow_pickle=False)
+        # np.save appends .npy to names without it
+        saved = tmp if tmp.endswith(".npy") else tmp + ".npy"
+        meta = {
+            "sample_rate": stream.sample_rate,
+            "sample_count": stream.sample_count,
+            "padding_size": stream.padding_size,
+            "buffer_len": len(stream.data),
+            "dtype": str(stream.data.dtype),
+        }
+        with open(os.path.join(directory, key + ".meta.json"), "w", encoding="utf-8") as handle:
+            json.dump(meta, handle)
+        os.replace(saved, os.path.join(directory, key + ".npy"))
+        _evict(directory)
+    except OSError as error:
+        _log.debug("stream cache write failed: %s", error)
+
+
+def _evict(directory: str) -> None:
+    try:
+        entries = sorted(
+            (entry for entry in os.scandir(directory) if entry.name.endswith(".npy")),
+            key=lambda entry: entry.stat().st_mtime,
+        )
+        for stale in entries[: max(0, len(entries) - _MAX_ENTRIES)]:
+            meta = os.path.join(directory, stale.name[: -len(".npy")] + ".meta.json")
+            os.unlink(stale.path)
+            if os.path.exists(meta):
+                os.unlink(meta)
+    except OSError:
+        pass
+
+
+def load_stream(
+    path: str,
+    sample_rate: int = 12000,
+    sample_type: str = "uint8",
+    use_native: bool = True,
+) -> AudioStream:
+    """AudioStream via the disk memo; falls through to a real ingest."""
+    directory = cache_dir()
+    key = stream_key(path, sample_rate, sample_type) if directory else None
+    if directory and key:
+        cached = _try_read(directory, key)
+        if cached is not None:
+            _log.info("Loaded prepared stream for %s from cache", path)
+            return cached
+    stream = AudioStream(path, sample_rate, sample_type, use_native=use_native)
+    stream.cache_key = key
+    if directory and key:
+        _write(directory, key, stream)
+    return stream
+
+
+def load_pair(
+    src_path: str,
+    dst_path: str,
+    sample_rate: int = 12000,
+    sample_type: str = "uint8",
+    use_native: bool = True,
+) -> Tuple[AudioStream, AudioStream]:
+    """Load both streams concurrently (ctypes ingest releases the GIL)."""
+    if src_path == dst_path:
+        stream = load_stream(src_path, sample_rate, sample_type, use_native)
+        return stream, stream
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        src_future = pool.submit(load_stream, src_path, sample_rate, sample_type, use_native)
+        dst_future = pool.submit(load_stream, dst_path, sample_rate, sample_type, use_native)
+        return src_future.result(), dst_future.result()

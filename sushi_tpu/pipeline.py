@@ -20,7 +20,7 @@ from sushi_tpu.align.batcher import calculate_shifts
 from sushi_tpu.align.groups import prepare_search_groups
 from sushi_tpu.errors import SushiError
 from sushi_tpu.media.demux import Demuxer, get_extension
-from sushi_tpu.media.stream import AudioStream
+from sushi_tpu.media.stream_cache import load_pair
 from sushi_tpu.media.timecodes import Timecodes
 from sushi_tpu.text import chapters as chapters_mod
 from sushi_tpu.text import keyframes as keyframes_mod
@@ -192,8 +192,10 @@ def run(args) -> None:
             raise SushiError("script contains no events")
         script.sort_by_time()
 
-        src_stream = AudioStream(src_audio_path, sample_rate=args.sample_rate, sample_type=args.sample_type)
-        dst_stream = AudioStream(dst_audio_path, sample_rate=args.sample_rate, sample_type=args.sample_type)
+        src_stream, dst_stream = load_pair(
+            src_audio_path, dst_audio_path,
+            sample_rate=args.sample_rate, sample_type=args.sample_type,
+        )
 
         search_groups = prepare_search_groups(
             script.events,
