@@ -198,13 +198,22 @@ def match_padded_batch(
     _, block_ids = jax.lax.top_k(-block_min, effective_k)  # ties -> lower block
     block_ids = block_ids.astype(jnp.int32)
     candidates = block_ids * _LANES + jnp.take_along_axis(block_arg, block_ids, axis=1)
-    # score plateaus (constant audio regions) can be wider than K, hiding
-    # the EARLIEST minimal lag that cv2's first-min rule would return; add
-    # the first lag within a hair of the coarse minimum as a candidate so
-    # the exact tie-break can pick it
+    # score plateaus (constant audio regions) can be wider than K*128 lags,
+    # hiding the EARLIEST minimal lag that cv2's first-min rule would
+    # return; nominate the first lag inside a tie band around the coarse
+    # minimum so the exact tie-break can pick it.  The band must scale with
+    # the score (normalized SSD is O(1), but clamped regions sit at 2.0):
+    # a tight band of ~8x the coarse pass's observed FFT noise (~1e-6
+    # relative) nominates only genuine near-ties, and a second loose band
+    # catches rows whose plateau noise runs hotter.  False nominees cost
+    # nothing — the exact rescore outvotes them.
     coarse_min = jnp.min(coarse, axis=1, keepdims=True)
-    first_near_min = jnp.argmax(coarse <= coarse_min + 1e-4, axis=1).astype(jnp.int32)
-    candidates = jnp.concatenate([first_near_min[:, None], candidates], axis=1)
+    scale = 1.0 + jnp.abs(coarse_min)
+    first_tight = jnp.argmax(coarse <= coarse_min + 8e-6 * scale, axis=1).astype(jnp.int32)
+    first_loose = jnp.argmax(coarse <= coarse_min + 1e-4 * scale, axis=1).astype(jnp.int32)
+    candidates = jnp.concatenate(
+        [first_tight[:, None], first_loose[:, None], candidates], axis=1
+    )
 
     num, energy = _rescore_auto(patterns, pat_lens, windows, candidates)
     pat_energy = jnp.sum(patterns * patterns, axis=1, keepdims=True)

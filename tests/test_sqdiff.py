@@ -194,3 +194,69 @@ def test_realistic_audio_episode_slice():
     assert float(score[0]) == pytest.approx(c_score, abs=1e-3)
     # and the found lag equals the true location of the pattern
     assert int(lag[0]) + lo == stream.sample_for_time(8.0)
+
+
+class TestPlateauTieBreak:
+    """cv2's argmin takes the FIRST minimum; plateaus wider than the
+    blockwise top-K must still tie-break to the earliest lag via the
+    near-min plateau candidates (adversarial widths per wav.py:187-188
+    first-minimum semantics)."""
+
+    def _match(self, pattern, window, fft_size, rescore_k=8):
+        pat, pat_lens, win, win_lens = _pad_batch([pattern], [window], fft_size)
+        score, lag = match_padded(
+            pat, pat_lens, win, win_lens, fft_size=fft_size, rescore_k=rescore_k
+        )
+        return float(score[0]), int(lag[0])
+
+    def test_exact_tie_plateau_wider_than_topk(self):
+        # constant run: every lag inside it scores exactly equal; the run
+        # spans far more than rescore_k * 128 lags, so the blockwise
+        # candidates alone cannot see its first block reliably
+        rng = np.random.RandomState(3)
+        pat_len, n = 512, 8192
+        plateau_start = 1733  # deliberately not lane-aligned
+        window = rng.rand(n - 1024).astype(np.float32) + 1.0
+        window[plateau_start : plateau_start + 4096] = 0.5
+        pattern = np.full(pat_len, 0.5, np.float32)
+
+        c_score, c_lag = cv2_match(pattern, window)
+        score, lag = self._match(pattern, window, n, rescore_k=4)
+        assert lag == c_lag == plateau_start
+        assert score == pytest.approx(c_score, abs=1e-5)
+
+    def test_periodic_repeats_equal_quality(self):
+        # the pattern recurs identically every `period` samples: the true
+        # minima tie exactly, and cv2's own pick among them is float-noise
+        # arbitrary (this fixture makes cv2 return 3500, not 0!), so the
+        # contract is the soak's: an equal-quality pick — our lag must be
+        # one of the true minima, scored within noise of cv2's minimum
+        rng = np.random.RandomState(4)
+        pat_len, period, repeats = 300, 700, 9
+        motif = (rng.rand(period) * 0.8 + 0.1).astype(np.float32)
+        window = np.tile(motif, repeats).astype(np.float32)
+        pattern = motif[:pat_len].copy()
+        n = 8192
+        c_score, _ = cv2_match(pattern, window)
+        score, lag = self._match(pattern, window, n, rescore_k=4)
+        assert lag % period == 0  # a true repeat position
+        oracle_scores = oracle_sqdiff_normed(pattern, window)
+        assert oracle_scores[lag] <= float(oracle_scores.min()) + 1e-9
+        assert score == pytest.approx(c_score, abs=1e-5)
+
+    def test_uint8_quantized_plateau(self):
+        # plateau arising from uint8 quantization of near-silence (the
+        # pad region case), with a genuine match later in the window:
+        # the plateau must not shadow the true minimum, and when the true
+        # minimum IS the plateau, the first plateau lag must win
+        rng = np.random.RandomState(5)
+        pat_len, n = 400, 4096
+        quiet = np.full(3000, 128, np.uint8)
+        window_u8 = np.concatenate([quiet, rng.randint(0, 256, 600).astype(np.uint8)])
+        pattern_u8 = np.full(pat_len, 128, np.uint8)
+        window = window_u8.astype(np.float32) / 255.0
+        pattern = pattern_u8.astype(np.float32) / 255.0
+        c_score, c_lag = cv2_match(pattern, window)
+        score, lag = self._match(pattern, window, n)
+        assert lag == c_lag == 0
+        assert score == pytest.approx(c_score, abs=1e-5)
