@@ -309,6 +309,57 @@ class PlannedSearch:
     sample_rate: int
 
 
+@dataclass(frozen=True)
+class _WideChunk:
+    """Sub-search key: one lag chunk of an oversized window."""
+
+    parent: object
+    offset: int  # first lag (== window sample offset) this chunk owns
+
+
+# preferred fft size for wide-window lag chunks: large enough to amortize,
+# small enough that a handful of chunk rows fit one batch
+_WIDE_CHUNK_FFT = 1 << 20
+
+
+def plan_wide_chunks(item: PlannedSearch, max_fft: int) -> Optional[List[PlannedSearch]]:
+    """Split an oversized request into lag-chunk sub-searches.
+
+    The lag range of one window is cut into spans that each fit a normal
+    device bucket (the single-chip analog of the mesh-sharded
+    :func:`sushi_tpu.parallel.sharded_search.wide_window_search`); exact
+    scores are comparable across chunks, so the host combine keeps cv2's
+    first-lag tie-break.  Returns None when the *pattern* alone exceeds any
+    usable chunk (only a pattern-sharded kernel could help; callers fall
+    back to the host oracle).
+    """
+    chunk_fft = max(min(_WIDE_CHUNK_FFT, max_fft), _next_pow2(item.pat_len * 2))
+    if chunk_fft > max_fft:
+        return None
+    from sushi_tpu.parallel.sharded_search import chunk_wide_window
+
+    total_lags = item.win_len - item.pat_len + 1
+    max_chunk_lags = chunk_fft - item.pat_len + 1
+    num_chunks = -(-total_lags // max_chunk_lags)
+    spans = chunk_wide_window(item.win_len, item.pat_len, num_chunks)
+    subs = []
+    for offset, length in spans:
+        if length <= 0:
+            continue
+        subs.append(
+            PlannedSearch(
+                key=_WideChunk(item.key, offset),
+                pat_start=item.pat_start,
+                pat_len=item.pat_len,
+                win_start=item.win_start + offset,
+                win_len=length,
+                start_time=item.start_time + offset / float(item.sample_rate),
+                sample_rate=item.sample_rate,
+            )
+        )
+    return subs
+
+
 def execute_planned(
     src_dev,
     dst_dev,
@@ -332,16 +383,30 @@ def execute_planned(
 
     results: Dict[object, Tuple[float, float, int]] = {}
     by_fft: Dict[int, List[PlannedSearch]] = {}
+    wide_parents: Dict[object, List[_WideChunk]] = {}
     for item in planned:
         fft_size = min(max(_next_pow2(item.win_len), _MIN_FFT), _MAX_FFT)
         if fft_size < item.win_len:
-            # pathological request (pattern spanning minutes): run on host
+            # oversized window: cut the lag range into chunks that each fit
+            # a normal device bucket, combined after the fetch
+            subs = plan_wide_chunks(item, _MAX_FFT)
+            if subs is not None:
+                _log.info(
+                    "wide window of %d samples lag-chunked into %d device searches",
+                    item.win_len, len(subs),
+                )
+                wide_parents[item.key] = (item, [sub.key for sub in subs])
+                for sub in subs:
+                    sub_fft = min(max(_next_pow2(sub.win_len), _MIN_FFT), _MAX_FFT)
+                    by_fft.setdefault(sub_fft, []).append(sub)
+                continue
+            # a pattern spanning minutes cannot even be chunked: run on host
             if host_fallback is None:
-                raise SushiError("search window too large for the device matcher")
+                raise SushiError("search pattern too large for the device matcher")
             stats.host_fallbacks += 1
             _log.warning(
-                "search window of %d samples exceeds the device FFT cap; "
-                "falling back to the host oracle (slow)", item.win_len,
+                "pattern of %d samples exceeds the device FFT cap; "
+                "falling back to the host oracle (slow)", item.pat_len,
             )
             src_host, dst_host = host_fallback
             pattern = src_host[item.pat_start : item.pat_start + item.pat_len]
@@ -399,6 +464,20 @@ def execute_planned(
                 float(all_scores[cursor + i]), float(found_time), item.win_start + lag
             )
         cursor += len(chunk)
+
+    # combine lag-chunk sub-results: min exact score, first (lowest absolute
+    # sample) lag on ties — identical semantics to one full-window argmin
+    for parent_key, (parent, sub_keys) in wide_parents.items():
+        sub_results = [results.pop(key) for key in sub_keys]
+        best = min(score for score, _, _ in sub_results)
+        score, _, abs_sample = min(
+            (r for r in sub_results if r[0] == best), key=lambda r: r[2]
+        )
+        # recompute the time with the single division the unchunked path uses
+        lag = abs_sample - parent.win_start
+        results[parent_key] = (
+            score, parent.start_time + lag / float(parent.sample_rate), abs_sample
+        )
     return results
 
 

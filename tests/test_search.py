@@ -159,8 +159,8 @@ def test_corrupted_segment_parity(tmp_path):
 
 
 def test_oversized_pattern_falls_back_to_host(tmp_path, monkeypatch):
-    # a group whose window exceeds the device matcher's max FFT must route
-    # through the host oracle fallback (cap shrunk so the fixture stays small)
+    # a group whose PATTERN exceeds any usable chunk must route through the
+    # host oracle fallback (cap shrunk so the fixture stays small)
     import sushi_tpu.align.batcher as batcher_mod
 
     monkeypatch.setattr(batcher_mod, "_MAX_FFT", 1 << 18)  # ~21s at 12kHz
@@ -168,9 +168,63 @@ def test_oversized_pattern_falls_back_to_host(tmp_path, monkeypatch):
     src, dst = make_pair(str(tmp_path), 30.0, [(2.0, 3.5), (15.0, 16.5), (27.0, 28.5)],
                          dst_shift=0.75, seed=12)
     groups = make_groups(events)
+    batcher_mod.TELEMETRY.reset()
     results = calculate_shifts(src, dst, groups, 10, 30, 5)
     assert results[0].shift == pytest.approx(0.75, abs=2e-3)  # 24s pattern via host
     assert results[1].shift == pytest.approx(0.75, abs=2e-3)  # small group via device
+    assert sum(r.host_fallbacks for r in batcher_mod.TELEMETRY.rounds) > 0
+
+
+def test_wide_window_lag_chunked_on_device(tmp_path, monkeypatch):
+    # a normal pattern with a window exceeding the FFT cap must be
+    # lag-chunked into device sub-searches (NOT the host fallback) and
+    # still make the exact decisions of the sequential oracle
+    import sushi_tpu.align.batcher as batcher_mod
+
+    monkeypatch.setattr(batcher_mod, "_MAX_FFT", 1 << 16)  # ~5.4s at 12kHz
+    events = [(2.0, 3.6), (6.0, 7.4), (10.0, 11.2), (14.0, 15.3)]
+    src, dst = make_pair(str(tmp_path), 18.0, events, dst_shift=2.25, seed=8)
+
+    sequential = run_sequential_oracle(src, dst, make_groups(events))
+    groups = make_groups(events)
+    batcher_mod.TELEMETRY.reset()
+    device = calculate_shifts(src, dst, groups, 10, 30, 5)
+
+    assert sum(r.host_fallbacks for r in batcher_mod.TELEMETRY.rounds) == 0
+    # the 10s verified-search windows (>2^16 samples) really were chunked
+    assert any(
+        len(r.buckets) > 0 and r.requests > 0 for r in batcher_mod.TELEMETRY.rounds
+    )
+    for dev, seq in zip(device, sequential):
+        assert dev.shift == pytest.approx(seq.shift, abs=SAMPLE_ERROR)
+    for dev in device:
+        assert dev.shift == pytest.approx(2.25, abs=2e-3)
+
+
+def test_plan_wide_chunks_covers_all_lags():
+    from sushi_tpu.align.batcher import PlannedSearch, plan_wide_chunks
+
+    item = PlannedSearch(
+        key="parent", pat_start=100, pat_len=18000, win_start=5000,
+        win_len=300000, start_time=-3.0, sample_rate=12000,
+    )
+    subs = plan_wide_chunks(item, max_fft=1 << 16)
+    assert subs is not None and len(subs) > 1
+    total_lags = item.win_len - item.pat_len + 1
+    covered = set()
+    for sub in subs:
+        assert sub.win_len <= 1 << 16
+        assert sub.pat_start == item.pat_start and sub.pat_len == item.pat_len
+        offset = sub.win_start - item.win_start
+        covered.update(range(offset, offset + sub.win_len - sub.pat_len + 1))
+    assert covered == set(range(total_lags))
+
+    # pattern too large for any chunk -> caller must fall back
+    giant = PlannedSearch(
+        key="giant", pat_start=0, pat_len=(1 << 16), win_start=0,
+        win_len=1 << 18, start_time=0.0, sample_rate=12000,
+    )
+    assert plan_wide_chunks(giant, max_fft=1 << 16) is None
 
 
 def test_window_clamps_to_buffer_at_destination_tail(tmp_path):
