@@ -145,6 +145,32 @@ _UPLOAD_MEMO_MAX = 6
 _DELTA0_MEMO: Dict[Tuple[str, str], int] = {}
 
 
+def _probe_refine_plan(coarse: int, src_len: int, dst_len: int, sample_rate: int) -> Optional[PlannedSearch]:
+    """Exact-refine plan for a whole-stream alignment estimate.
+
+    A mid-stream probe slice of the source is searched in a ±2-pool-width
+    destination window around the pooled coarse peak; the kernel's exact
+    rescore pins the alignment to the sample.  Returns None when the window
+    would leave the destination buffer (the caller keeps the coarse value).
+    """
+    probe_len = 18000
+    pool_slack = 2 * 64
+    probe_start = src_len // 2
+    lo = probe_start + coarse - pool_slack
+    hi = probe_start + probe_len + coarse + pool_slack
+    if probe_start + probe_len > src_len or lo < 0 or hi > dst_len:
+        return None
+    return PlannedSearch(
+        key="align0-refine",
+        pat_start=probe_start,
+        pat_len=probe_len,
+        win_start=lo,
+        win_len=hi - lo,
+        start_time=0.0,
+        sample_rate=sample_rate,
+    )
+
+
 def upload_stream(stream: AudioStream):
     """Device array for a stream's padded analysis buffer, memoized."""
     import jax.numpy as jnp
@@ -273,14 +299,16 @@ class DeviceMatcher:
         )
 
     def global_alignment_estimate(self) -> int:
-        """Coarse whole-stream alignment via one pooled FFT correlation.
+        """Sample-exact whole-stream alignment, coarse-to-fine on device.
 
         Returns the estimated dst-buffer sample index offset of src-buffer
-        content (i.e. ``dst[i + delta] ≈ src[i]``).  Used only to seed the
-        speculative replay, so ±pool-width accuracy is plenty.  Runs on the
-        host: the pooled arrays are tiny and a host FFT avoids a device
-        round-trip before the first real batch.  Memoized by stream content
-        identity — the estimate is a pure function of the two buffers.
+        content (i.e. ``dst[i + delta] ≈ src[i]``), used to seed the
+        speculative replay.  Coarse stage: a 64x-pooled FFT cross-correlation
+        of the two device-resident streams (:func:`sqdiff.pooled_alignment_peak`
+        — FFT length drops 64x vs full rate, and the host never touches the
+        buffers).  Fine stage: one exact kernel search of a mid-stream probe
+        in a ±2-pool window around the peak.  Memoized in-process and on
+        disk — the estimate is a pure function of the two buffers.
         """
         memo_key = None
         if self._src_key is not None and self._dst_key is not None:
@@ -288,11 +316,41 @@ class DeviceMatcher:
             cached = _DELTA0_MEMO.get(memo_key)
             if cached is not None:
                 return cached
-        delta0 = global_alignment_estimate(self._src_host, self._dst_host)
+            from sushi_tpu.media import stream_cache
+
+            stored = stream_cache.load_alignment_seed(*memo_key)
+            if stored is not None:
+                _DELTA0_MEMO[memo_key] = stored
+                return stored
+
+        import jax.numpy as jnp
+
+        coarse = int(
+            sqdiff.pooled_alignment_peak(
+                self._src_dev,
+                self._dst_dev,
+                jnp.int32(len(self._src_host)),
+                jnp.int32(len(self._dst_host)),
+            )
+        )
+        delta0 = coarse
+        refine = _probe_refine_plan(
+            coarse, len(self._src_host), len(self._dst_host), self._dst.sample_rate
+        )
+        if refine is not None:
+            result = execute_planned(
+                self._src_dev, self._dst_dev, [refine], self._rescore_k,
+                self._max_batch_elements,
+            )
+            delta0 = result[refine.key][2] - refine.pat_start
+
         if memo_key is not None:
             while len(_DELTA0_MEMO) >= 64:
                 _DELTA0_MEMO.pop(next(iter(_DELTA0_MEMO)))
             _DELTA0_MEMO[memo_key] = delta0
+            from sushi_tpu.media import stream_cache
+
+            stream_cache.store_alignment_seed(memo_key[0], memo_key[1], delta0)
         return delta0
 
 

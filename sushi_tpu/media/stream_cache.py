@@ -131,8 +131,49 @@ def _evict(directory: str) -> None:
             os.unlink(stale.path)
             if os.path.exists(meta):
                 os.unlink(meta)
+        seeds = sorted(
+            (entry for entry in os.scandir(directory) if entry.name.startswith("align0_")),
+            key=lambda entry: entry.stat().st_mtime,
+        )
+        for stale in seeds[: max(0, len(seeds) - 4 * _MAX_ENTRIES)]:
+            os.unlink(stale.path)
     except OSError:
         pass
+
+
+def _seed_path(directory: str, src_key: str, dst_key: str) -> str:
+    return os.path.join(directory, "align0_%s_%s.json" % (src_key, dst_key))
+
+
+def load_alignment_seed(src_key: str, dst_key: str) -> Optional[int]:
+    """Memoized whole-stream alignment estimate for a stream pair.
+
+    The seed is a pure function of the two prepared buffers, so it is keyed
+    by their cache identities and survives across processes — a warm sync
+    skips the pooled device correlation entirely.
+    """
+    directory = cache_dir()
+    if not directory:
+        return None
+    try:
+        with open(_seed_path(directory, src_key, dst_key), "r", encoding="utf-8") as handle:
+            return int(json.load(handle)["delta0"])
+    except (OSError, ValueError, KeyError):
+        return None
+
+
+def store_alignment_seed(src_key: str, dst_key: str, delta0: int) -> None:
+    directory = cache_dir()
+    if not directory:
+        return
+    try:
+        os.makedirs(directory, exist_ok=True)
+        path = _seed_path(directory, src_key, dst_key)
+        with open(path + ".tmp", "w", encoding="utf-8") as handle:
+            json.dump({"delta0": int(delta0)}, handle)
+        os.replace(path + ".tmp", path)
+    except OSError as error:
+        _log.debug("alignment seed write failed: %s", error)
 
 
 def load_stream(

@@ -244,6 +244,51 @@ def match_padded_batch(
 match_padded = jax.jit(match_padded_batch, static_argnames=("fft_size", "rescore_k"))
 
 
+@functools.partial(jax.jit, static_argnames=("pool",))
+def pooled_alignment_peak(
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    src_len: jnp.ndarray,
+    dst_len: jnp.ndarray,
+    *,
+    pool: int = 64,
+) -> jnp.ndarray:
+    """Whole-stream alignment peak at pooled resolution, on device.
+
+    The coarse stage of the coarse-to-fine seed: mean-pool both resident
+    streams ``pool``-fold, remove DC, and take the argmax of their circular
+    FFT cross-correlation.  Returns the estimated sample offset of src
+    content inside dst (``dst[i + delta] ~= src[i]``) quantized to the pool
+    width; an exact device search around it pins the sample (see
+    ``DeviceMatcher.global_alignment_estimate``).  ``src_len``/``dst_len``
+    are the *real* buffer lengths — both arrays are padded with zeros to a
+    shape quantum, and pooled blocks past the real data are masked so the
+    padding cannot bias the correlation.
+    """
+
+    def prep(stream: jnp.ndarray, n_valid: jnp.ndarray) -> jnp.ndarray:
+        rows = stream.reshape(-1, pool)
+        if rows.dtype == jnp.uint8:
+            rows = rows.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+        else:
+            rows = rows.astype(jnp.float32)
+        pooled = rows.mean(axis=1)
+        count = n_valid // pool  # whole blocks of real data, like the host seed
+        valid = jnp.arange(pooled.shape[0], dtype=jnp.int32) < count
+        mean = jnp.sum(jnp.where(valid, pooled, 0.0)) / jnp.maximum(count, 1).astype(jnp.float32)
+        return jnp.where(valid, pooled - mean, 0.0)
+
+    src_p = prep(src, src_len)
+    dst_p = prep(dst, dst_len)
+    fft_size = 1 << (max(src_p.shape[0], dst_p.shape[0]) * 2 - 1).bit_length()
+    corr = jnp.fft.irfft(
+        jnp.fft.rfft(dst_p, n=fft_size) * jnp.conj(jnp.fft.rfft(src_p, n=fft_size)), n=fft_size
+    )
+    peak = jnp.argmax(corr).astype(jnp.int32)
+    # upper-half lags of a circular correlation are negative offsets
+    return jnp.where(peak > fft_size // 2, peak - fft_size, peak) * pool
+
+
 @functools.partial(jax.jit, static_argnames=("fft_size", "slice_len", "rescore_k"))
 def match_from_streams(
     src: jnp.ndarray,

@@ -271,3 +271,47 @@ def test_empty_script_raises(tmp_path):
     with pytest.raises(SushiError, match="no events"):
         run_cli(["--src", str(tmp_path / "a.wav"), "--dst", str(tmp_path / "a.wav"),
                  "--script", str(tmp_path / "empty.srt")])
+
+
+def test_device_alignment_seed_matches_host(tmp_path):
+    """The coarse-to-fine device seed pins the same whole-stream offset as
+    the host pooled-FFT + oracle-refine estimate.
+
+    Uses broadband noise audio: its autocorrelation is a delta, so the
+    pooled peak is unambiguous on both paths (the sparse synth episodes
+    have near-flat whole-stream envelopes where coarse peaks are genuine
+    ties and the two estimates may legitimately land pools apart)."""
+    from sushi_tpu.align import batcher
+
+    rng = np.random.RandomState(11)
+    audio = (rng.randn(22 * 48000) * 6000).astype(np.int16)
+    dst_audio = shift_audio(audio, 3.417)
+    src_path = os.path.join(str(tmp_path), "src.wav")
+    dst_path = os.path.join(str(tmp_path), "dst.wav")
+    write_wav_int16(src_path, audio)
+    write_wav_int16(dst_path, dst_audio)
+    src = AudioStream(src_path, 12000, "uint8")
+    dst = AudioStream(dst_path, 12000, "uint8")
+
+    host = batcher.global_alignment_estimate(src.data, dst.data)
+    matcher = DeviceMatcher(src, dst, groups_to_spans(make_groups(EVENTS), src))
+    device = matcher.global_alignment_estimate()
+    assert abs(device - host) <= 1
+    assert abs(device - round(3.417 * 12000)) <= 1
+
+
+def test_alignment_seed_disk_memo(tmp_path, monkeypatch):
+    from sushi_tpu.media import stream_cache
+
+    monkeypatch.setenv("SUSHI_STREAM_CACHE", str(tmp_path / "cache"))
+    assert stream_cache.load_alignment_seed("aaa", "bbb") is None
+    stream_cache.store_alignment_seed("aaa", "bbb", -41004)
+    assert stream_cache.load_alignment_seed("aaa", "bbb") == -41004
+    # a matcher with keyed streams must hit the memo instead of the device
+    from sushi_tpu.align import batcher
+
+    src, dst = make_pair(str(tmp_path), 22.0, EVENTS, dst_shift=1.0, seed=6)
+    src.cache_key, dst.cache_key = "aaa", "bbb"
+    batcher._DELTA0_MEMO.clear()
+    matcher = DeviceMatcher(src, dst, groups_to_spans(make_groups(EVENTS), src))
+    assert matcher.global_alignment_estimate() == -41004
