@@ -119,15 +119,15 @@ def measure_ours(src_wav, dst_wav, script):
 
 
 def measure_stages(src_wav, dst_wav, script):
-    """Instrumented stage breakdown (stderr detail, not the headline)."""
-    from sushi_tpu.align.batcher import DeviceMatcher, calculate_shifts, groups_to_spans
+    """Instrumented stage breakdown through the production path (stream
+    cache + upload memo + disk alignment seed), plus kernel telemetry."""
+    from sushi_tpu.align.batcher import TELEMETRY, DeviceMatcher, calculate_shifts, groups_to_spans
     from sushi_tpu.align.groups import prepare_search_groups
-    from sushi_tpu.media.stream import AudioStream
+    from sushi_tpu.media.stream_cache import load_pair
     from sushi_tpu.text.subs import SrtScript
 
     t0 = time.time()
-    src = AudioStream(src_wav, 12000, "uint8")
-    dst = AudioStream(dst_wav, 12000, "uint8")
+    src, dst = load_pair(src_wav, dst_wav, 12000, "uint8")
     t_load = time.time() - t0
     doc = SrtScript.from_file(script)
     doc.sort_by_time()
@@ -138,32 +138,47 @@ def measure_stages(src_wav, dst_wav, script):
     t0 = time.time()
     matcher = DeviceMatcher(src, dst, groups_to_spans(groups, src))
     t_init = time.time() - t0
+    TELEMETRY.reset()
     t0 = time.time()
     calculate_shifts(src, dst, groups, 10, 30, 5, matcher=matcher)
     t_search = time.time() - t0
+    telemetry = TELEMETRY.summary()
     log(
         "bench: stages — load %.2fs, device init/upload %.2fs, search %.2fs"
         % (t_load, t_init, t_search)
     )
-    return t_search
+    log("bench: search telemetry — %s" % json.dumps(telemetry))
+    return t_search, telemetry
 
 
-def measure_season(src_wav, dst_wav, script, episodes=4):
-    """Season batch sync throughput: N copies of the episode through
-    shared device batches (BASELINE config 5, scaled down)."""
+def measure_season(src_wav, dst_wav, script, episodes=12):
+    """Season batch sync throughput (BASELINE config 5: 12 episodes
+    streamed through shared device rounds, demux/ingest pipelined on host
+    threads).  Episodes are hardlinked copies so each is a distinct file:
+    every episode pays its own ingest/cache/upload path.  ffmpeg isn't
+    installed on this box, so sources are WAV — the container demux flow
+    is exercised by tests/test_season.py with a PATH-shimmed ffmpeg."""
     from sushi_tpu.season import SeasonJob, sync_season
 
-    jobs = [
-        SeasonJob(src_wav, dst_wav, script, os.path.join(BENCH_DIR, "season.out.%d.srt" % i))
-        for i in range(episodes)
-    ]
-    # best-of-2: the first call in a process absorbs cached-executable
-    # deserialization; the second reflects steady-state serving
+    jobs = []
+    for i in range(episodes):
+        src_i = os.path.join(BENCH_DIR, "season.ep%02d.src.wav" % i)
+        dst_i = os.path.join(BENCH_DIR, "season.ep%02d.dst.wav" % i)
+        for target, source in ((src_i, src_wav), (dst_i, dst_wav)):
+            if not os.path.exists(target):
+                os.link(source, target)
+        jobs.append(
+            SeasonJob(src_i, dst_i, script, os.path.join(BENCH_DIR, "season.out.%d.srt" % i))
+        )
+    # best-of-2: the first call absorbs cold stream-cache ingest for all
+    # episodes; the second reflects steady-state serving
     elapsed = float("inf")
-    for _ in range(2):
+    for attempt in range(2):
         t0 = time.time()
-        sync_season(jobs)
-        elapsed = min(elapsed, time.time() - t0)
+        sync_season(jobs, io_threads=8)
+        took = time.time() - t0
+        log("bench: season attempt %d: %.2fs" % (attempt, took))
+        elapsed = min(elapsed, took)
     log("bench: season %d episodes in %.2fs (%.1f episodes/min)" % (
         episodes, elapsed, episodes * 60.0 / elapsed))
     return elapsed
@@ -204,6 +219,46 @@ def measure_kernel_throughput():
             % (fft_size, per_batch * 1e3, batch, batch / per_batch)
         )
     log("bench: kernel-only throughput — " + "; ".join(report))
+
+
+def run_regression():
+    """Run the end-to-end regression harness (tools/regression.py) and
+    report pass/fail — the bench fails loudly on budget or expected-error
+    drift, mirroring the reference's regression-tests.py gate.
+
+    Runs in scrubbed-env CPU subprocesses: the harness spawns one fresh CLI
+    process per test, and cold-process chip attach through the tunneled
+    relay costs tens of seconds each — the CPU backend measures the same
+    decision logic without that noise."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.pop("AXON_LOOPBACK_RELAY", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(repo, ".jax_cache"))
+    base = "/tmp/sushi_tpu_regression_v1"
+    t0 = time.time()
+    try:
+        if not os.path.exists(os.path.join(base, "regression.json")):
+            subprocess.run(
+                [sys.executable, "tools/regression.py", "--make-fixtures", base],
+                env=env, cwd=repo, capture_output=True, text=True, timeout=600, check=True,
+            )
+        result = subprocess.run(
+            [sys.executable, "tools/regression.py", os.path.join(base, "regression.json")],
+            env=env, cwd=repo, capture_output=True, text=True, timeout=1200,
+        )
+        passed = result.returncode == 0
+        tail = (result.stderr or result.stdout).strip().splitlines()[-8:]
+    except (subprocess.SubprocessError, OSError) as error:
+        passed, tail = False, [str(error)]
+    seconds = time.time() - t0
+    for line in tail:
+        log("bench: regression | " + line)
+    log("bench: regression harness %s in %.1fs" % ("PASSED" if passed else "FAILED", seconds))
+    return passed, seconds
 
 
 def measure_baseline(src_wav, dst_wav, script):
@@ -301,8 +356,9 @@ def main():
     ours = measure_ours(src_wav, dst_wav, script)
     worst = check_output_correctness()
     measure_kernel_throughput()
-    search_seconds = measure_stages(src_wav, dst_wav, script)
-    season_seconds = measure_season(src_wav, dst_wav, script, episodes=4)
+    search_seconds, telemetry = measure_stages(src_wav, dst_wav, script)
+    season_seconds = measure_season(src_wav, dst_wav, script, episodes=12)
+    regression_passed, regression_seconds = run_regression()
     baseline = measure_baseline(src_wav, dst_wav, script)
 
     result = {
@@ -315,7 +371,16 @@ def main():
         "baseline_seconds": round(baseline, 3),
         "worst_line_error_seconds": round(worst, 4),
         "search_stage_seconds": round(search_seconds, 3),
-        "season_4_episodes_seconds": round(season_seconds, 3),
+        "season_12_episodes_seconds": round(season_seconds, 3),
+        "season_episodes_per_minute": round(12 * 60.0 / season_seconds, 1),
+        "regression_passed": regression_passed,
+        "device_rounds": telemetry["rounds"],
+        "device_requests": telemetry["requests"],
+        "device_dispatch_seconds": telemetry["dispatch_seconds"],
+        "device_fetch_seconds": telemetry["fetch_seconds"],
+        "device_coarse_gflop": telemetry["coarse_gflop"],
+        "device_gflops": telemetry["device_gflops"],
+        "device_gathered_gb": telemetry["gathered_gb"],
     }
     print(json.dumps(result), flush=True)
 

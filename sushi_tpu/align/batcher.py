@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import logging
 import math
+import os
 import time
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -139,7 +140,9 @@ def pad_stream_for_device(data: np.ndarray) -> np.ndarray:
 # an episode whose streams are already on device skips the host->device
 # transfer entirely (~0.3 s per 34 MB stream through a tunneled relay).
 _UPLOAD_MEMO: Dict[str, object] = {}
-_UPLOAD_MEMO_MAX = 6
+# 32 quantized streams ≈ 1 GB HBM — small next to a 16 GB chip, and enough
+# to keep a whole 12-episode season resident between batch runs
+_UPLOAD_MEMO_MAX = int(os.environ.get("SUSHI_UPLOAD_MEMO", "32"))
 
 # {(src cache_key, dst cache_key): whole-stream alignment estimate}
 _DELTA0_MEMO: Dict[Tuple[str, str], int] = {}
@@ -266,6 +269,15 @@ class DeviceMatcher:
         self._dst_host = dst_stream.data
         self._src_key = getattr(src_stream, "cache_key", None)
         self._dst_key = getattr(dst_stream, "cache_key", None)
+        self._pair = StreamPair(
+            self._src_dev, self._dst_dev, host_fallback=(self._src_host, self._dst_host)
+        )
+
+    @property
+    def pair(self) -> "StreamPair":
+        """The device operand pair — lets callers merge this matcher's
+        requests into shared multi-episode rounds (see sushi_tpu.season)."""
+        return self._pair
 
     # --- device buffers ----------------------------------------------------
 
@@ -288,14 +300,10 @@ class DeviceMatcher:
 
     def execute(self, requests: Sequence[SearchRequest]) -> Dict[SearchRequest, Tuple[float, float, int]]:
         """Run all requests on device; returns {request: (score, time, abs)}."""
-        planned = [self.plan(request, request) for request in requests]
-        return execute_planned(
-            self._src_dev,
-            self._dst_dev,
-            planned,
+        return execute_planned_multi(
+            [(self._pair, self.plan(request, request)) for request in requests],
             self._rescore_k,
             self._max_batch_elements,
-            host_fallback=(self._src_host, self._dst_host),
         )
 
     def global_alignment_estimate(self) -> int:
@@ -367,6 +375,21 @@ class PlannedSearch:
     sample_rate: int
 
 
+@dataclass(frozen=True, eq=False)
+class StreamPair:
+    """Device-resident (src, dst) buffers one or more searches gather from.
+
+    Identity-hashed: two pairs are the same operand set only if they are the
+    same object, so device arrays (unhashable) can be carried directly.
+    ``host_fallback`` optionally holds the host buffers for patterns too
+    large even for lag-chunking.
+    """
+
+    src_dev: object
+    dst_dev: object
+    host_fallback: Optional[Tuple[np.ndarray, np.ndarray]] = None
+
+
 @dataclass(frozen=True)
 class _WideChunk:
     """Sub-search key: one lag chunk of an oversized window."""
@@ -426,23 +449,35 @@ def execute_planned(
     max_batch_elements: int = _MAX_BATCH_ELEMENTS,
     host_fallback: Optional[Tuple[np.ndarray, np.ndarray]] = None,
 ) -> Dict[object, Tuple[float, float, int]]:
+    """Run planned searches against one (src, dst) stream pair."""
+    pair = StreamPair(src_dev, dst_dev, host_fallback)
+    return execute_planned_multi(
+        [(pair, item) for item in planned], rescore_k, max_batch_elements
+    )
+
+
+def execute_planned_multi(
+    items: Sequence[Tuple[StreamPair, PlannedSearch]],
+    rescore_k: int = 16,
+    max_batch_elements: int = _MAX_BATCH_ELEMENTS,
+) -> Dict[object, Tuple[float, float, int]]:
     """Run planned searches as bucketed batched kernel calls.
 
-    Results are keyed by each item's ``key``.  Every bucket chunk is
-    dispatched asynchronously before any device->host sync (each sync is a
-    full tunnel round-trip on remote TPU setups), and chunks pad up to a
-    few batch-size buckets so only a handful of (fft_size, batch) shapes
-    ever compile.
+    Each item names the :class:`StreamPair` it gathers from, so searches
+    over *different* episodes (season batches) share the same round: one
+    dispatch burst, ONE device->host fetch.  Results are keyed by each
+    item's ``key``.  Chunks pad up to a few batch-size buckets so only a
+    handful of (fft_size, batch) shapes ever compile.
     """
     import jax.numpy as jnp
 
-    stats = RoundStats(requests=len(planned))
+    stats = RoundStats(requests=len(items))
     TELEMETRY.rounds.append(stats)
 
     results: Dict[object, Tuple[float, float, int]] = {}
-    by_fft: Dict[int, List[PlannedSearch]] = {}
-    wide_parents: Dict[object, List[_WideChunk]] = {}
-    for item in planned:
+    by_bucket: Dict[Tuple[StreamPair, int], List[PlannedSearch]] = {}
+    wide_parents: Dict[object, Tuple[PlannedSearch, List[object]]] = {}
+    for pair, item in items:
         fft_size = min(max(_next_pow2(item.win_len), _MIN_FFT), _MAX_FFT)
         if fft_size < item.win_len:
             # oversized window: cut the lag range into chunks that each fit
@@ -456,17 +491,17 @@ def execute_planned(
                 wide_parents[item.key] = (item, [sub.key for sub in subs])
                 for sub in subs:
                     sub_fft = min(max(_next_pow2(sub.win_len), _MIN_FFT), _MAX_FFT)
-                    by_fft.setdefault(sub_fft, []).append(sub)
+                    by_bucket.setdefault((pair, sub_fft), []).append(sub)
                 continue
             # a pattern spanning minutes cannot even be chunked: run on host
-            if host_fallback is None:
+            if pair.host_fallback is None:
                 raise SushiError("search pattern too large for the device matcher")
             stats.host_fallbacks += 1
             _log.warning(
                 "pattern of %d samples exceeds the device FFT cap; "
                 "falling back to the host oracle (slow)", item.pat_len,
             )
-            src_host, dst_host = host_fallback
+            src_host, dst_host = pair.host_fallback
             pattern = src_host[item.pat_start : item.pat_start + item.pat_len]
             window = dst_host[item.win_start : item.win_start + item.win_len]
             score, lag = sqdiff.oracle_match(
@@ -478,20 +513,22 @@ def execute_planned(
                 item.win_start + lag,
             )
             continue
-        by_fft.setdefault(fft_size, []).append(item)
+        by_bucket.setdefault((pair, fft_size), []).append(item)
 
     dispatch_started = time.perf_counter()
     in_flight = []
-    for fft_size, items in sorted(by_fft.items()):
+    for (pair, fft_size), bucket_items in sorted(
+        by_bucket.items(), key=lambda entry: entry[0][1]
+    ):
         max_b = max(1, min(max_batch_elements // fft_size, _BATCH_BUCKETS[-1]))
-        for chunk_start in range(0, len(items), max_b):
-            chunk = items[chunk_start : chunk_start + max_b]
+        for chunk_start in range(0, len(bucket_items), max_b):
+            chunk = bucket_items[chunk_start : chunk_start + max_b]
             b = len(chunk)
             padded_b = next(s for s in _BATCH_BUCKETS if s >= b)
             rows = chunk + [chunk[0]] * (padded_b - b)
             scores, lags = sqdiff.match_from_streams(
-                src_dev,
-                dst_dev,
+                pair.src_dev,
+                pair.dst_dev,
                 jnp.asarray(np.array([r.pat_start for r in rows], np.int32)),
                 jnp.asarray(np.array([r.pat_len for r in rows], np.int32)),
                 jnp.asarray(np.array([r.win_start for r in rows], np.int32)),

@@ -5,7 +5,10 @@ reference, ffmpeg / mkvextract / SCXvid run as subprocesses and the
 pipeline consumes their file outputs.  Argv contracts follow
 /root/reference/demux.py:16-132 so existing workflows keep working:
 
-* probe: ``ffmpeg -hide_banner -i <path>`` with stderr regex scraping;
+* probe: ``ffprobe -print_format json`` when available (structured, no
+  regex fragility), falling back to ``ffmpeg -hide_banner -i <path>``
+  stderr scraping with the reference's exact regexes
+  (/root/reference/demux.py:62-92);
 * demux: one ffmpeg invocation extracting audio (mono 16-bit PCM at the
   analysis rate), the subtitle stream, and mkvtimestamp_v2 timecodes;
 * timecodes fast path: ``mkvextract timecodes_v2`` with ffmpeg fallback;
@@ -14,6 +17,7 @@ pipeline consumes their file outputs.  Argv contracts follow
 
 from __future__ import annotations
 
+import json
 import logging
 import os
 import re
@@ -159,6 +163,101 @@ class FFmpeg:
         )
 
 
+class FFprobe:
+    """Structured probing via ``ffprobe -print_format json``.
+
+    Preferred over the stderr scrape: the JSON contract is stable across
+    ffmpeg versions, where the banner format the regexes parse is not.
+    Returns None whenever ffprobe is missing or its output is unusable so
+    the caller can fall back to the scrape.
+    """
+
+    _SUBS_EXTENSION_MAP = {"ssa": ".ass", "ass": ".ass", "subrip": ".srt"}
+
+    @staticmethod
+    def get_output(path: str) -> Optional[str]:
+        try:
+            result = subprocess.run(
+                [
+                    "ffprobe",
+                    "-v", "quiet",
+                    "-print_format", "json",
+                    "-show_streams",
+                    "-show_chapters",
+                    path,
+                ],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.DEVNULL,
+            )
+        except OSError:
+            return None
+        if result.returncode != 0 or not result.stdout:
+            return None
+        return result.stdout.decode("utf-8", errors="replace")
+
+    @classmethod
+    def parse_media_info(cls, output: str) -> Optional[MediaInfo]:
+        try:
+            probed = json.loads(output)
+            streams = probed.get("streams", [])
+            video, audio, subtitles = [], [], []
+            for stream in streams:
+                index = int(stream["index"])
+                codec = stream.get("codec_type")
+                default = bool(stream.get("disposition", {}).get("default", 0))
+                title = stream.get("tags", {}).get("title", "")
+                info = " ".join(
+                    str(part)
+                    for part in (
+                        stream.get("codec_name", "?"),
+                        stream.get("profile"),
+                        stream.get("sample_rate") and "%s Hz" % stream["sample_rate"],
+                        stream.get("channel_layout"),
+                        stream.get("width") and "%sx%s" % (stream["width"], stream.get("height")),
+                    )
+                    if part
+                )
+                if codec == "video":
+                    video.append(MediaStreamInfo(index, info, default, title))
+                elif codec == "audio":
+                    audio.append(MediaStreamInfo(index, info, default, title))
+                elif codec == "subtitle":
+                    codec_name = stream.get("codec_name", "")
+                    subtitles.append(
+                        SubtitlesStreamInfo(
+                            index,
+                            info,
+                            cls._SUBS_EXTENSION_MAP.get(codec_name, codec_name),
+                            default,
+                            title,
+                        )
+                    )
+            chapter_times = sorted(
+                float(chapter["start_time"]) for chapter in probed.get("chapters", [])
+            )
+        except (ValueError, KeyError, TypeError):
+            return None
+        return MediaInfo(video=video, audio=audio, subtitles=subtitles, chapters=chapter_times)
+
+    @classmethod
+    def get_media_info(cls, path: str) -> Optional[MediaInfo]:
+        output = cls.get_output(path)
+        if output is None:
+            return None
+        info = cls.parse_media_info(output)
+        if info is None:
+            _log.warning("ffprobe output for %s was unparsable; falling back to ffmpeg", path)
+        return info
+
+
+def probe_media_info(path: str) -> MediaInfo:
+    """Probe a container: ffprobe JSON first, ffmpeg stderr scrape fallback."""
+    info = FFprobe.get_media_info(path)
+    if info is not None:
+        return info
+    return FFmpeg.get_media_info(path)
+
+
 class MkvToolnix:
     @classmethod
     def extract_timecodes(cls, mkv_path: str, stream_idx: int, output_path: str) -> None:
@@ -207,7 +306,7 @@ class Demuxer:
     def __init__(self, path: str):
         self._path = path
         self._is_wav = get_extension(path) == ".wav"
-        self._mi: Optional[MediaInfo] = None if self._is_wav else FFmpeg.get_media_info(path)
+        self._mi: Optional[MediaInfo] = None if self._is_wav else probe_media_info(path)
         self._demux_audio = False
         self._demux_subs = False
         self._make_timecodes = False

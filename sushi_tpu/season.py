@@ -1,18 +1,23 @@
-"""Season sync: batch many episodes through shared device batches.
+"""Season sync: pipelined batch sync of many episodes on one device.
 
 The reference processes one episode per process; syncing a season means N
-sequential runs.  Here all episodes' analysis streams are concatenated
-into one pair of device-resident buffers and every episode's search
-session contributes requests to the same bucketed kernel batches — the
-TPU sees a few large dispatches for the whole season (episode-level data
-parallelism on one chip; shard the row axis over a mesh for more chips,
-see sushi_tpu.parallel).
+sequential runs (/root/reference/sushi.py:528-736 has no batch entry).
+Here episodes are *pipelined*: host threads demux containers (ffmpeg, like
+/root/reference/demux.py:279-315) and ingest analysis streams while the
+device is already searching the episodes that finished ingesting — every
+ready episode's search session contributes requests to the same bucketed
+kernel rounds (:func:`sushi_tpu.align.batcher.execute_planned_multi`), so
+the TPU sees a few large dispatches regardless of season size.  Stream
+buffers are quantized to shared shapes, letting all episodes reuse the
+same compiled executables.
 
 Usage:
     python -m sushi_tpu.season jobs.json [--sample-rate N] [--window N] ...
 
-jobs.json: [{"src": ..., "dst": ..., "script": ..., "output": ...}, ...]
-(only WAV sources here; demux containers to WAV first or via the main CLI).
+jobs.json: [{"src": ..., "dst": ..., "script": ..., "output": ...,
+             "src_audio_idx": optional, "dst_audio_idx": optional}, ...]
+Sources may be WAV files or containers (MKV etc.) — containers are demuxed
+with ffmpeg on the ingest threads.
 """
 
 from __future__ import annotations
@@ -23,25 +28,16 @@ import logging
 import os
 import sys
 import time
+from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
 from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
-import numpy as np
-
 from sushi_tpu.align import heuristics
-from sushi_tpu.align.batcher import (
-    _MAX_FFT,
-    PatternTable,
-    PlannedSearch,
-    SearchSession,
-    execute_planned,
-    global_alignment_estimate,
-    run_sessions,
-    window_bounds,
-)
+from sushi_tpu.align.batcher import DeviceMatcher, SearchSession, execute_planned_multi
 from sushi_tpu.align.groups import prepare_search_groups
 from sushi_tpu.errors import SushiError
-from sushi_tpu.media.stream import AudioStream
+from sushi_tpu.media.demux import Demuxer, get_extension
+from sushi_tpu.media.stream_cache import load_pair
 from sushi_tpu.text.subs import load_script
 from sushi_tpu.utils.compile_cache import enable as enable_compile_cache
 
@@ -54,19 +50,20 @@ class SeasonJob:
     dst: str
     script: str
     output: str
+    src_audio_idx: Optional[int] = None
+    dst_audio_idx: Optional[int] = None
 
 
 @dataclass
 class _Episode:
+    index: int
     job: SeasonJob
     script: object
-    src_stream: AudioStream
-    dst_stream: AudioStream
     groups: list
     session: SearchSession
-    patterns: PatternTable
-    src_base: int
-    dst_base: int
+    matcher: DeviceMatcher
+    demuxers: List[Demuxer]
+    prepared_seconds: float
 
 
 def load_jobs(path: str) -> List[SeasonJob]:
@@ -78,11 +75,110 @@ def load_jobs(path: str) -> List[SeasonJob]:
     for i, entry in enumerate(raw):
         try:
             jobs.append(
-                SeasonJob(entry["src"], entry["dst"], entry["script"], entry["output"])
+                SeasonJob(
+                    entry["src"],
+                    entry["dst"],
+                    entry["script"],
+                    entry["output"],
+                    entry.get("src_audio_idx"),
+                    entry.get("dst_audio_idx"),
+                )
             )
         except (TypeError, KeyError):
             raise SushiError("job #{0} must have src/dst/script/output".format(i))
     return jobs
+
+
+def _resolve_audio(
+    path: str, stream_idx: Optional[int], sample_rate: int, temp_dir: Optional[str]
+) -> Tuple[str, Optional[Demuxer]]:
+    """WAV passthrough, or ffmpeg demux of a container's audio track.
+
+    Same source-selection contract as the single-episode pipeline
+    (pipeline.py / reference sushi.py:593-604): explicit stream index wins,
+    else the default track, else error with candidates listed.
+    """
+    if get_extension(path) == ".wav":
+        return path, None
+    from sushi_tpu.pipeline import format_full_path
+
+    demuxer = Demuxer(path)
+    audio_path = format_full_path(temp_dir, path, ".sushi.wav")
+    demuxer.set_audio(stream_idx=stream_idx, output_path=audio_path, sample_rate=sample_rate)
+    demuxer.demux()
+    if not os.path.exists(audio_path):
+        raise SushiError("demuxing {0} produced no audio at {1}".format(path, audio_path))
+    return audio_path, demuxer
+
+
+def _prepare_episode(
+    index: int,
+    job: SeasonJob,
+    sample_rate: int,
+    sample_type: str,
+    window: float,
+    max_window: float,
+    rewind_thresh: int,
+    max_ts_duration: float,
+    max_ts_distance: float,
+    temp_dir: Optional[str],
+) -> _Episode:
+    """Demux + ingest + seed one episode (runs on an ingest thread)."""
+    started = time.time()
+    demuxers = []
+    src_audio, src_demuxer = _resolve_audio(job.src, job.src_audio_idx, sample_rate, temp_dir)
+    if src_demuxer is not None:
+        demuxers.append(src_demuxer)
+    dst_audio, dst_demuxer = _resolve_audio(job.dst, job.dst_audio_idx, sample_rate, temp_dir)
+    if dst_demuxer is not None:
+        demuxers.append(dst_demuxer)
+
+    script = load_script(job.script)
+    script.sort_by_time()
+    src_stream, dst_stream = load_pair(src_audio, dst_audio, sample_rate, sample_type)
+    groups = prepare_search_groups(
+        script.events,
+        source_duration=src_stream.duration_seconds,
+        chapter_times=[],
+        max_ts_duration=max_ts_duration,
+        max_ts_distance=max_ts_distance,
+    )
+    from sushi_tpu.align.batcher import groups_to_spans
+
+    matcher = DeviceMatcher(src_stream, dst_stream, groups_to_spans(groups, src_stream))
+    session = SearchSession(
+        src_stream,
+        dst_stream,
+        groups,
+        window,
+        max_window,
+        rewind_thresh,
+        delta0=matcher.global_alignment_estimate(),
+    )
+    return _Episode(
+        index=index,
+        job=job,
+        script=script,
+        groups=groups,
+        session=session,
+        matcher=matcher,
+        demuxers=demuxers,
+        prepared_seconds=time.time() - started,
+    )
+
+
+def _finish_episode(episode: _Episode, smooth_radius: int) -> None:
+    episode.session.finalize()
+    events = episode.script.events
+    heuristics.fix_near_borders(events)
+    heuristics.smooth_events([e for e in events if not e.linked], smooth_radius)
+    groups = heuristics.detect_groups(events)
+    for group in groups:
+        heuristics.average_shifts(group)
+    for event in events:
+        event.apply_shift()
+    episode.script.save_to_file(episode.job.output)
+    _log.info("season: wrote %s", episode.job.output)
 
 
 def sync_season(
@@ -95,111 +191,99 @@ def sync_season(
     smooth_radius: int = 3,
     max_ts_duration: float = 1001.0 / 24000.0 * 10,
     max_ts_distance: float = 1001.0 / 24000.0 * 10,
+    io_threads: int = 4,
+    temp_dir: Optional[str] = None,
+    cleanup: bool = False,
+    max_rounds: int = 10000,
 ) -> None:
     enable_compile_cache()
-    import jax.numpy as jnp
 
     for job in jobs:
         for path, title in ((job.src, "Source"), (job.dst, "Destination"), (job.script, "Script")):
             if not os.path.exists(path):
                 raise SushiError("{0} file doesn't exist: {1}".format(title, path))
+    if temp_dir and not os.path.exists(temp_dir):
+        os.makedirs(temp_dir)
 
     started = time.time()
-    episodes: List[_Episode] = []
-    src_parts: List[np.ndarray] = []
-    dst_parts: List[np.ndarray] = []
-    src_cursor = dst_cursor = 0
-    for job in jobs:
-        script = load_script(job.script)
-        script.sort_by_time()
-        src_stream = AudioStream(job.src, sample_rate, sample_type)
-        dst_stream = AudioStream(job.dst, sample_rate, sample_type)
-        groups = prepare_search_groups(
-            script.events,
-            source_duration=src_stream.duration_seconds,
-            chapter_times=[],
-            max_ts_duration=max_ts_duration,
-            max_ts_distance=max_ts_distance,
-        )
-        session = SearchSession(
-            src_stream,
-            dst_stream,
-            groups,
-            window,
-            max_window,
-            rewind_thresh,
-            delta0=global_alignment_estimate(src_stream.data, dst_stream.data),
-        )
-        episodes.append(
-            _Episode(
-                job=job,
-                script=script,
-                src_stream=src_stream,
-                dst_stream=dst_stream,
-                groups=groups,
-                session=session,
-                patterns=PatternTable(session.spans),
-                src_base=src_cursor,
-                dst_base=dst_cursor,
+    all_demuxers: List[Demuxer] = []
+    rounds = 0
+    synced = 0
+    with ThreadPoolExecutor(max_workers=max(1, io_threads)) as pool:
+        pending = {
+            pool.submit(
+                _prepare_episode,
+                index,
+                job,
+                sample_rate,
+                sample_type,
+                window,
+                max_window,
+                rewind_thresh,
+                max_ts_duration,
+                max_ts_distance,
+                temp_dir,
             )
-        )
-        # separator padding keeps fixed-size gathers inside one episode
-        src_parts.extend((src_stream.data, np.zeros(_MAX_FFT, src_stream.data.dtype)))
-        dst_parts.extend((dst_stream.data, np.zeros(_MAX_FFT, dst_stream.data.dtype)))
-        src_cursor += len(src_stream.data) + _MAX_FFT
-        dst_cursor += len(dst_stream.data) + _MAX_FFT
-    _log.info("season: %d episodes ingested in %.2fs", len(jobs), time.time() - started)
-
-    from sushi_tpu.align.batcher import pad_stream_for_device
-
-    # quantized padding so compiled kernel shapes are reused across seasons
-    src_host = np.concatenate(src_parts)
-    dst_host = np.concatenate(dst_parts)
-    src_dev = jnp.asarray(pad_stream_for_device(src_host))
-    dst_dev = jnp.asarray(pad_stream_for_device(dst_host))
-
-    by_session = {episode.session: episode for episode in episodes}
-
-    def execute(tagged: List[Tuple[SearchSession, object]]):
-        planned = []
-        for session, request in tagged:
-            episode = by_session[session]
-            pat_start, pat_len = episode.patterns.bounds(request.group_idx, request.part)
-            win_start, win_len, start_time = window_bounds(episode.dst_stream, request, pat_len)
-            planned.append(
-                PlannedSearch(
-                    key=(session, request),
-                    pat_start=pat_start + episode.src_base,
-                    pat_len=pat_len,
-                    win_start=win_start + episode.dst_base,
-                    win_len=win_len,
-                    start_time=start_time,
-                    sample_rate=episode.dst_stream.sample_rate,
-                )
-            )
-        raw = execute_planned(src_dev, dst_dev, planned, host_fallback=(src_host, dst_host))
-        # translate absolute samples back to episode-local buffer indices
-        # (the predictor's alignment table is episode-local)
-        return {
-            key: (score, found_time, abs_sample - by_session[key[0]].dst_base)
-            for key, (score, found_time, abs_sample) in raw.items()
+            for index, job in enumerate(jobs)
         }
+        active: List[_Episode] = []
+        try:
+            while pending or active:
+                # harvest ready episodes; block only when the device would
+                # otherwise sit idle
+                if pending:
+                    done, pending = wait(
+                        pending, timeout=0 if active else None, return_when=FIRST_COMPLETED
+                    )
+                    for future in done:
+                        episode = future.result()
+                        all_demuxers.extend(episode.demuxers)
+                        _log.info(
+                            "season: episode %d ready (ingest %.2fs), joining the batch pool",
+                            episode.index,
+                            episode.prepared_seconds,
+                        )
+                        active.append(episode)
+                if not active:
+                    continue
 
-    run_sessions([episode.session for episode in episodes], execute)
+                # one merged device round over every currently-active episode
+                items = []
+                for episode in list(active):
+                    requests = episode.session.replay()
+                    if not requests:
+                        _finish_episode(episode, smooth_radius)
+                        active.remove(episode)
+                        synced += 1
+                        continue
+                    items.extend(
+                        (episode.matcher.pair, episode.matcher.plan((episode.index, request), request))
+                        for request in requests
+                    )
+                if items:
+                    rounds += 1
+                    if rounds > max_rounds:
+                        raise SushiError("season shift search failed to converge")
+                    _log.debug("season round %d: %d device requests", rounds, len(items))
+                    raw = execute_planned_multi(items)
+                    by_episode = {episode.index: {} for episode in active}
+                    for (episode_index, request), result in raw.items():
+                        by_episode[episode_index][request] = result
+                    for episode in active:
+                        fresh = by_episode.get(episode.index)
+                        if fresh:
+                            episode.session.feed(fresh)
+        finally:
+            if cleanup:
+                for demuxer in all_demuxers:
+                    demuxer.cleanup()
 
-    for episode in episodes:
-        events = episode.script.events
-        heuristics.fix_near_borders(events)
-        heuristics.smooth_events([e for e in events if not e.linked], smooth_radius)
-        groups = heuristics.detect_groups(events)
-        for group in groups:
-            heuristics.average_shifts(group)
-        for event in events:
-            event.apply_shift()
-        episode.script.save_to_file(episode.job.output)
-        _log.info("season: wrote %s", episode.job.output)
-
-    _log.info("season: synced %d episodes in %.2fs", len(jobs), time.time() - started)
+    _log.info(
+        "season: synced %d episodes in %.2fs (%d device rounds)",
+        synced,
+        time.time() - started,
+        rounds,
+    )
 
 
 def main(argv: Optional[List[str]] = None) -> None:
@@ -213,6 +297,9 @@ def main(argv: Optional[List[str]] = None) -> None:
     parser.add_argument("--max-window", default=30, type=int, dest="max_window")
     parser.add_argument("--rewind-thresh", default=5, type=int, dest="rewind_thresh")
     parser.add_argument("--smooth-radius", default=3, type=int, dest="smooth_radius")
+    parser.add_argument("--io-threads", default=4, type=int, dest="io_threads")
+    parser.add_argument("--temp-dir", default=None, dest="temp_dir")
+    parser.add_argument("--cleanup", action="store_true", help="remove demuxed audio afterwards")
     parser.add_argument("-v", "--verbose", action="store_true")
     args = parser.parse_args(argv)
 
@@ -226,6 +313,9 @@ def main(argv: Optional[List[str]] = None) -> None:
             max_window=args.max_window,
             rewind_thresh=args.rewind_thresh,
             smooth_radius=args.smooth_radius,
+            io_threads=args.io_threads,
+            temp_dir=args.temp_dir,
+            cleanup=args.cleanup,
         )
     except SushiError as error:
         logging.critical("%s", error)

@@ -6,7 +6,15 @@ from unittest import mock
 import pytest
 
 from sushi_tpu.errors import SushiError
-from sushi_tpu.media.demux import Demuxer, FFmpeg, MediaInfo, MkvToolnix, SCXviD
+from sushi_tpu.media.demux import (
+    Demuxer,
+    FFmpeg,
+    FFprobe,
+    MediaInfo,
+    MkvToolnix,
+    SCXviD,
+    probe_media_info,
+)
 
 FFMPEG_PROBE_OUTPUT = """Input #0, matroska,webm, from 'ep.mkv':
   Metadata:
@@ -108,9 +116,75 @@ def test_ffmpeg_missing_binary_maps_to_sushi_error():
             FFmpeg.demux_file("ep.mkv", audio_stream=1, audio_path="a.wav")
 
 
+FFPROBE_JSON_OUTPUT = """{
+    "streams": [
+        {"index": 0, "codec_name": "h264", "codec_type": "video", "profile": "High 10",
+         "width": 1920, "height": 1080,
+         "disposition": {"default": 1, "forced": 0}, "tags": {"language": "jpn"}},
+        {"index": 1, "codec_name": "flac", "codec_type": "audio", "sample_rate": "48000",
+         "channel_layout": "stereo",
+         "disposition": {"default": 1, "forced": 0},
+         "tags": {"language": "jpn", "title": "Japanese 2.0 FLAC"}},
+        {"index": 2, "codec_name": "aac", "codec_type": "audio", "sample_rate": "48000",
+         "channel_layout": "stereo",
+         "disposition": {"default": 0, "forced": 0}, "tags": {"language": "eng"}},
+        {"index": 3, "codec_name": "ass", "codec_type": "subtitle",
+         "disposition": {"default": 1, "forced": 0},
+         "tags": {"language": "eng", "title": "English subs"}},
+        {"index": 4, "codec_name": "subrip", "codec_type": "subtitle",
+         "disposition": {"default": 0, "forced": 0}, "tags": {"language": "enm"}}
+    ],
+    "chapters": [
+        {"id": 1, "start_time": "0.000000", "end_time": "287.162000",
+         "tags": {"title": "Part A"}},
+        {"id": 2, "start_time": "287.162000", "end_time": "1437.186000",
+         "tags": {"title": "Part B"}}
+    ]
+}"""
+
+
+class TestFFprobeParsing:
+    """The ffprobe JSON path must extract the same facts as the scrape."""
+
+    info = FFprobe.parse_media_info(FFPROBE_JSON_OUTPUT)
+
+    def test_matches_scrape_results(self):
+        scraped = TestProbeParsing.info
+        assert [v.id for v in self.info.video] == [v.id for v in scraped.video]
+        assert [a.id for a in self.info.audio] == [a.id for a in scraped.audio]
+        assert [(s.id, s.type, s.default) for s in self.info.subtitles] == [
+            (s.id, s.type, s.default) for s in scraped.subtitles
+        ]
+        assert self.info.chapters == scraped.chapters
+
+    def test_titles_and_defaults(self):
+        assert self.info.audio[0].title == "Japanese 2.0 FLAC"
+        assert self.info.audio[0].default and not self.info.audio[1].default
+        assert self.info.video[0].default
+
+    def test_unparsable_output_returns_none(self):
+        assert FFprobe.parse_media_info("not json at all") is None
+        assert FFprobe.parse_media_info('{"streams": [{"no_index": true}]}') is None
+
+
+def test_probe_prefers_ffprobe_with_scrape_fallback():
+    with mock.patch.object(FFprobe, "get_output", return_value=FFPROBE_JSON_OUTPUT):
+        with mock.patch.object(FFmpeg, "get_info") as scrape:
+            info = probe_media_info("ep.mkv")
+    scrape.assert_not_called()
+    assert [a.id for a in info.audio] == [1, 2]
+
+    # ffprobe missing -> the reference's ffmpeg stderr scrape takes over
+    with mock.patch.object(FFprobe, "get_output", return_value=None):
+        with mock.patch.object(FFmpeg, "get_info", return_value=FFMPEG_PROBE_OUTPUT):
+            info = probe_media_info("ep.mkv")
+    assert [a.id for a in info.audio] == [1, 2]
+
+
 def _make_demuxer(path="ep.mkv"):
-    with mock.patch.object(FFmpeg, "get_info", return_value=FFMPEG_PROBE_OUTPUT):
-        return Demuxer(path)
+    with mock.patch.object(FFprobe, "get_output", return_value=None):
+        with mock.patch.object(FFmpeg, "get_info", return_value=FFMPEG_PROBE_OUTPUT):
+            return Demuxer(path)
 
 
 class TestDemuxerFacade:

@@ -75,3 +75,64 @@ def test_season_cli_entry(season, tmp_path):
     for out, shift in zip(outs, SHIFTS):
         result = SrtScript.from_file(out)
         assert result.events[0].start == pytest.approx(EVENTS[0][0] + shift, abs=2e-3)
+
+
+@pytest.fixture()
+def fake_ffmpeg(tmp_path, monkeypatch):
+    """A PATH-shimmed ffmpeg: probe prints a stream listing, demux 'extracts'
+    audio by copying ``<container>.hidden.wav`` (the argv contract is pinned
+    separately in tests/test_demux.py; this exercises the real Demuxer flow
+    end-to-end without ffmpeg on the box)."""
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    stub = bindir / "ffmpeg"
+    stub.write_text(
+        "#!/bin/sh\n"
+        'input=""; prev=""; out=""\n'
+        'for a in "$@"; do\n'
+        '  if [ "$prev" = "-i" ]; then input="$a"; fi\n'
+        '  prev="$a"; out="$a"\n'
+        "done\n"
+        'if [ "$#" -le 3 ]; then\n'
+        "  printf 'Input #0, matroska,webm, from %s:\\n' \"$input\" >&2\n"
+        "  printf '    Stream #0:0: Video: h264 (default)\\n' >&2\n"
+        "  printf '    Stream #0:1: Audio: pcm_s16le (default)\\n' >&2\n"
+        "  exit 1\n"
+        "fi\n"
+        'cp "${input%.mkv}.hidden.wav" "$out"\n'
+    )
+    stub.chmod(0o755)
+    monkeypatch.setenv("PATH", str(bindir) + ":" + str(__import__("os").environ["PATH"]))
+    return bindir
+
+
+def test_season_demuxes_containers(tmp_path, fake_ffmpeg):
+    """BASELINE config 5 shape: container sources demuxed via the Demuxer on
+    ingest threads, streamed into shared device batches."""
+    import os
+
+    jobs = []
+    shifts = [1.25, 2.0]
+    for i, shift in enumerate(shifts):
+        audio = synth_episode(16.0, EVENTS, seed=80 + i)
+        dst_audio = shift_audio(audio, shift)
+        container = str(tmp_path / f"ep{i}.dst.mkv")
+        with open(container, "w") as handle:
+            handle.write("not really matroska")
+        write_wav_int16(container[: -len(".mkv")] + ".hidden.wav", dst_audio)
+        src = str(tmp_path / f"ep{i}.src.wav")
+        write_wav_int16(src, audio)
+        script = str(tmp_path / f"ep{i}.srt")
+        write_srt(script, [(s, e, f"ep{i} line") for s, e in EVENTS])
+        jobs.append(SeasonJob(src, container, script, str(tmp_path / f"ep{i}.out.srt")))
+
+    temp_dir = str(tmp_path / "work")
+    sync_season(jobs, temp_dir=temp_dir, io_threads=2)
+
+    for job, shift in zip(jobs, shifts):
+        result = SrtScript.from_file(job.output)
+        for event, (start, _) in zip(result.events, EVENTS):
+            assert event.start == pytest.approx(start + shift, abs=2e-3), job.output
+    # demuxed audio landed in the temp dir and is kept without --cleanup
+    demuxed = [n for n in os.listdir(temp_dir) if n.endswith(".sushi.wav")]
+    assert len(demuxed) == len(shifts)
