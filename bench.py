@@ -170,10 +170,11 @@ def measure_season(src_wav, dst_wav, script, episodes=12):
         jobs.append(
             SeasonJob(src_i, dst_i, script, os.path.join(BENCH_DIR, "season.out.%d.srt" % i))
         )
-    # best-of-2: the first call absorbs cold stream-cache ingest for all
-    # episodes; the second reflects steady-state serving
+    # best-of-3: the first call absorbs cold stream-cache ingest for all
+    # episodes, the second the per-process executable warmup; the best
+    # reflects steady-state serving
     elapsed = float("inf")
-    for attempt in range(2):
+    for attempt in range(3):
         t0 = time.time()
         sync_season(jobs, io_threads=8)
         took = time.time() - t0

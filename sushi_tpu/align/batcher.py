@@ -526,7 +526,7 @@ def execute_planned_multi(
             b = len(chunk)
             padded_b = next(s for s in _BATCH_BUCKETS if s >= b)
             rows = chunk + [chunk[0]] * (padded_b - b)
-            scores, lags = sqdiff.match_from_streams(
+            packed = sqdiff.match_from_streams_packed(
                 pair.src_dev,
                 pair.dst_dev,
                 jnp.asarray(np.array([r.pat_start for r in rows], np.int32)),
@@ -537,28 +537,35 @@ def execute_planned_multi(
                 slice_len=fft_size,
                 rescore_k=rescore_k,
             )
-            in_flight.append((chunk, scores[:b], lags[:b]))
+            # keep the padded tail; trimming here would be an eager device op
+            in_flight.append((chunk, padded_b, packed))
             stats.record_chunk(fft_size, b, padded_b)
 
-    # ONE device->host fetch for the whole round (each fetch is a full
-    # tunnel round-trip on remote TPU setups)
+    # ONE device->host fetch for the whole round: remote/tunneled backends
+    # pay a full round-trip per eager op and per sync, so each chunk's
+    # scores and lags come back packed in one [2, B] float32 array (packed
+    # inside the jitted kernel), joined by a single concat + single fetch
     if not in_flight:
         return results
     stats.dispatch_seconds = time.perf_counter() - dispatch_started
     fetch_started = time.perf_counter()
-    all_scores = np.asarray(jnp.concatenate([scores for _, scores, _ in in_flight]))
-    all_lags = np.asarray(jnp.concatenate([lags for _, _, lags in in_flight]))
+    if len(in_flight) == 1:
+        combined = np.asarray(in_flight[0][2])
+    else:
+        combined = np.asarray(jnp.concatenate([packed for _, _, packed in in_flight], axis=1))
+    all_scores = combined[0]
+    all_lags = combined[1].astype(np.int64)
     stats.fetch_seconds = time.perf_counter() - fetch_started
 
     cursor = 0
-    for chunk, _, _ in in_flight:
+    for chunk, padded_b, _ in in_flight:
         for i, item in enumerate(chunk):
             lag = int(all_lags[cursor + i])
             found_time = item.start_time + lag / float(item.sample_rate)
             results[item.key] = (
                 float(all_scores[cursor + i]), float(found_time), item.win_start + lag
             )
-        cursor += len(chunk)
+        cursor += padded_b
 
     # combine lag-chunk sub-results: min exact score, first (lowest absolute
     # sample) lag on ties — identical semantics to one full-window argmin

@@ -321,3 +321,31 @@ def match_from_streams(
     patterns = _masked_rows(jax.vmap(lambda s: gather(src, s))(pat_starts), pat_lens)
     windows = _masked_rows(jax.vmap(lambda s: gather(dst, s))(win_starts), win_lens)
     return match_padded_batch(patterns, pat_lens, windows, win_lens, fft_size, rescore_k)
+
+
+@functools.partial(jax.jit, static_argnames=("fft_size", "slice_len", "rescore_k"))
+def match_from_streams_packed(
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    pat_starts: jnp.ndarray,
+    pat_lens: jnp.ndarray,
+    win_starts: jnp.ndarray,
+    win_lens: jnp.ndarray,
+    *,
+    fft_size: int,
+    slice_len: int,
+    rescore_k: int = 16,
+) -> jnp.ndarray:
+    """:func:`match_from_streams`, packed as one ``[2, B]`` float32 array
+    (row 0 scores, row 1 lags — exact in float32 since lags < 2^22).
+
+    Remote/tunneled backends pay a full round-trip per eager op and per
+    device->host sync, so the batcher wants each round to be pure jit
+    dispatches plus ONE concat + ONE fetch; packing inside the compiled
+    kernel keeps the host side free of per-chunk conversion ops.
+    """
+    scores, lags = match_from_streams(
+        src, dst, pat_starts, pat_lens, win_starts, win_lens,
+        fft_size=fft_size, slice_len=slice_len, rescore_k=rescore_k,
+    )
+    return jnp.stack([scores, lags.astype(jnp.float32)])
