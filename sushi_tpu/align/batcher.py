@@ -124,6 +124,22 @@ def _next_pow2(value: int) -> int:
     return 1 << max(0, int(value - 1).bit_length())
 
 
+def _fft_bucket(value: int) -> int:
+    """Smallest admitted FFT size >= value, clamped to [_MIN_FFT, _MAX_FFT].
+
+    Admits 2^k and 3*2^(k-1): XLA:TPU's FFT runs 3-smooth sizes at full
+    speed (measured on chip: n=98304 is ~30% *faster* than padding the
+    same rows to 131072), and the extra sizes cut the worst-case
+    zero-padding waste of pure powers of two from 2x to 1.5x.  Reads the
+    module globals at call time so tests can shrink the cap.
+    """
+    size = _MIN_FFT
+    while size < value and size < _MAX_FFT:
+        three_halves = size + size // 2
+        size = three_halves if three_halves >= value else size * 2
+    return min(size, _MAX_FFT)
+
+
 # device stream buffers are padded up to a multiple of this, because the
 # gather operand's length is baked into every compiled kernel shape —
 # quantizing it lets episodes of any length reuse the same executables
@@ -478,7 +494,7 @@ def execute_planned_multi(
     by_bucket: Dict[Tuple[StreamPair, int], List[PlannedSearch]] = {}
     wide_parents: Dict[object, Tuple[PlannedSearch, List[object]]] = {}
     for pair, item in items:
-        fft_size = min(max(_next_pow2(item.win_len), _MIN_FFT), _MAX_FFT)
+        fft_size = _fft_bucket(item.win_len)
         if fft_size < item.win_len:
             # oversized window: cut the lag range into chunks that each fit
             # a normal device bucket, combined after the fetch
@@ -490,7 +506,7 @@ def execute_planned_multi(
                 )
                 wide_parents[item.key] = (item, [sub.key for sub in subs])
                 for sub in subs:
-                    sub_fft = min(max(_next_pow2(sub.win_len), _MIN_FFT), _MAX_FFT)
+                    sub_fft = _fft_bucket(sub.win_len)
                     by_bucket.setdefault((pair, sub_fft), []).append(sub)
                 continue
             # a pattern spanning minutes cannot even be chunked: run on host
@@ -526,6 +542,11 @@ def execute_planned_multi(
             b = len(chunk)
             padded_b = next(s for s in _BATCH_BUCKETS if s >= b)
             rows = chunk + [chunk[0]] * (padded_b - b)
+            # static pattern-length bound for the exact rescore: its work is
+            # O(pat_cap) per candidate, so bucketing it (same admitted sizes
+            # as the FFT) halves rescore cost for typical line-length
+            # patterns inside window-dominated ffts
+            pat_cap = min(_fft_bucket(max(r.pat_len for r in rows)), fft_size)
             packed = sqdiff.match_from_streams_packed(
                 pair.src_dev,
                 pair.dst_dev,
@@ -536,6 +557,7 @@ def execute_planned_multi(
                 fft_size=fft_size,
                 slice_len=fft_size,
                 rescore_k=rescore_k,
+                pat_cap=pat_cap,
             )
             # keep the padded tail; trimming here would be an eager device op
             in_flight.append((chunk, padded_b, packed))
@@ -552,7 +574,7 @@ def execute_planned_multi(
     if len(in_flight) == 1:
         combined = np.asarray(in_flight[0][2])
     else:
-        combined = np.asarray(jnp.concatenate([packed for _, _, packed in in_flight], axis=1))
+        combined = np.asarray(sqdiff.join_packed(*[packed for _, _, packed in in_flight]))
     all_scores = combined[0]
     all_lags = combined[1].astype(np.int64)
     stats.fetch_seconds = time.perf_counter() - fetch_started

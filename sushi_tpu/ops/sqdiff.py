@@ -33,7 +33,7 @@ OpenCV semantics reproduced (verified empirically against cv2):
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -135,38 +135,60 @@ def _rescore_candidates(
     pat_lens: jnp.ndarray,
     windows: jnp.ndarray,
     candidate_lags: jnp.ndarray,
+    pat_cap: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Exact (num, energy) at K candidate lags per row.
+    """Exact (num, energy) at K candidate lags per row (XLA formulation).
 
     Computed as direct masked sums — no large-term cancellation, so float32
-    is accurate to ~1e-6 relative regardless of window length.
+    is accurate to ~1e-6 relative regardless of window length.  ``pat_cap``
+    (a static bound on every row's ``pat_len``, defaulting to ``n``) trims
+    the per-candidate slice so work scales with the pattern, not the
+    window: each candidate reads ``window[lag : lag + pat_cap]`` from a
+    zero-extended copy (candidate lags may legally approach ``n``).
     """
+    n = patterns.shape[1]
+    if pat_cap is None or pat_cap >= n:
+        def one_candidate(pattern, pat_len, window, lag):
+            shifted = jnp.roll(window, -lag)  # window[i + lag] for masked i
+            positions = jax.lax.broadcasted_iota(jnp.int32, pattern.shape, 0)
+            mask = positions < pat_len
+            diff = jnp.where(mask, pattern - shifted, 0.0)
+            seg = jnp.where(mask, shifted, 0.0)
+            return jnp.sum(diff * diff), jnp.sum(seg * seg)
 
-    def one_candidate(pattern, pat_len, window, lag):
-        shifted = jnp.roll(window, -lag)  # window[i + lag] for masked i
+        def one_row(pattern, pat_len, window, lags):
+            return jax.vmap(lambda lag: one_candidate(pattern, pat_len, window, lag))(lags)
+
+        return jax.vmap(one_row)(patterns, pat_lens, windows, candidate_lags)
+
+    windows_ext = jnp.pad(windows, ((0, 0), (0, pat_cap)))
+    patterns_cut = patterns[:, :pat_cap]
+
+    def one_candidate(pattern, pat_len, window_ext, lag):
+        seg = jax.lax.dynamic_slice(window_ext, (lag,), (pat_cap,))
         positions = jax.lax.broadcasted_iota(jnp.int32, pattern.shape, 0)
         mask = positions < pat_len
-        diff = jnp.where(mask, pattern - shifted, 0.0)
-        seg = jnp.where(mask, shifted, 0.0)
+        diff = jnp.where(mask, pattern - seg, 0.0)
+        seg = jnp.where(mask, seg, 0.0)
         return jnp.sum(diff * diff), jnp.sum(seg * seg)
 
-    def one_row(pattern, pat_len, window, lags):
-        return jax.vmap(lambda lag: one_candidate(pattern, pat_len, window, lag))(lags)
+    def one_row(pattern, pat_len, window_ext, lags):
+        return jax.vmap(lambda lag: one_candidate(pattern, pat_len, window_ext, lag))(lags)
 
-    return jax.vmap(one_row)(patterns, pat_lens, windows, candidate_lags)
+    return jax.vmap(one_row)(patterns_cut, pat_lens, windows_ext, candidate_lags)
 
 
-def _rescore_auto(patterns, pat_lens, windows, candidates):
+def _rescore_auto(patterns, pat_lens, windows, candidates, pat_cap=None):
     """Pick the rescore implementation: the Pallas kernel on TPU (VMEM
     permitting; interpreted elsewhere for testability), XLA fallback."""
     from sushi_tpu.ops import pallas_ssd
 
     n = patterns.shape[1]
     if not pallas_ssd.pallas_rescore_supported(n):
-        return _rescore_candidates(patterns, pat_lens, windows, candidates)
+        return _rescore_candidates(patterns, pat_lens, windows, candidates, pat_cap)
     on_tpu = jax.default_backend() == "tpu"
     return pallas_ssd.rescore_candidates_pallas(
-        patterns, pat_lens, windows, candidates, interpret=not on_tpu
+        patterns, pat_lens, windows, candidates, pat_cap, interpret=not on_tpu
     )
 
 
@@ -177,12 +199,15 @@ def match_padded_batch(
     win_lens: jnp.ndarray,
     fft_size: int,
     rescore_k: int = 16,
+    pat_cap: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Best (score, lag) per row of a padded batch, cv2-convention.
 
     Returns ``scores [B] float32`` (clamped to 1.0 like cv2) and
     ``lags [B] int32`` (first minimal lag; lag 0 when nothing scores
     below 1.0, matching cv2's argmin over an all-ones row).
+    ``pat_cap`` is a static bound on every row's ``pat_len`` that trims
+    the exact-rescore work (see :func:`_rescore_candidates`).
     """
     coarse = coarse_scores(patterns, pat_lens, windows, win_lens, fft_size)
     # hierarchical candidate selection: a full top_k over n lags lowers to a
@@ -215,7 +240,7 @@ def match_padded_batch(
         [first_tight[:, None], first_loose[:, None], candidates], axis=1
     )
 
-    num, energy = _rescore_auto(patterns, pat_lens, windows, candidates)
+    num, energy = _rescore_auto(patterns, pat_lens, windows, candidates, pat_cap)
     pat_energy = jnp.sum(patterns * patterns, axis=1, keepdims=True)
     den = jnp.sqrt(pat_energy * energy)
     exact = jnp.where((den > 0.0) & (num < den), num / jnp.where(den > 0.0, den, 1.0), 1.0)
@@ -241,7 +266,7 @@ def match_padded_batch(
 
 
 # jitted entry for pre-padded batches (tests, host-assembled requests)
-match_padded = jax.jit(match_padded_batch, static_argnames=("fft_size", "rescore_k"))
+match_padded = jax.jit(match_padded_batch, static_argnames=("fft_size", "rescore_k", "pat_cap"))
 
 
 @functools.partial(jax.jit, static_argnames=("pool",))
@@ -289,7 +314,7 @@ def pooled_alignment_peak(
     return jnp.where(peak > fft_size // 2, peak - fft_size, peak) * pool
 
 
-@functools.partial(jax.jit, static_argnames=("fft_size", "slice_len", "rescore_k"))
+@functools.partial(jax.jit, static_argnames=("fft_size", "slice_len", "rescore_k", "pat_cap"))
 def match_from_streams(
     src: jnp.ndarray,
     dst: jnp.ndarray,
@@ -301,6 +326,7 @@ def match_from_streams(
     fft_size: int,
     slice_len: int,
     rescore_k: int = 16,
+    pat_cap: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Gather (pattern, window) slices from device-resident streams and match.
 
@@ -320,10 +346,10 @@ def match_from_streams(
 
     patterns = _masked_rows(jax.vmap(lambda s: gather(src, s))(pat_starts), pat_lens)
     windows = _masked_rows(jax.vmap(lambda s: gather(dst, s))(win_starts), win_lens)
-    return match_padded_batch(patterns, pat_lens, windows, win_lens, fft_size, rescore_k)
+    return match_padded_batch(patterns, pat_lens, windows, win_lens, fft_size, rescore_k, pat_cap)
 
 
-@functools.partial(jax.jit, static_argnames=("fft_size", "slice_len", "rescore_k"))
+@functools.partial(jax.jit, static_argnames=("fft_size", "slice_len", "rescore_k", "pat_cap"))
 def match_from_streams_packed(
     src: jnp.ndarray,
     dst: jnp.ndarray,
@@ -335,6 +361,7 @@ def match_from_streams_packed(
     fft_size: int,
     slice_len: int,
     rescore_k: int = 16,
+    pat_cap: Optional[int] = None,
 ) -> jnp.ndarray:
     """:func:`match_from_streams`, packed as one ``[2, B]`` float32 array
     (row 0 scores, row 1 lags — exact in float32 since lags < 2^22).
@@ -346,6 +373,20 @@ def match_from_streams_packed(
     """
     scores, lags = match_from_streams(
         src, dst, pat_starts, pat_lens, win_starts, win_lens,
-        fft_size=fft_size, slice_len=slice_len, rescore_k=rescore_k,
+        fft_size=fft_size, slice_len=slice_len, rescore_k=rescore_k, pat_cap=pat_cap,
     )
     return jnp.stack([scores, lags.astype(jnp.float32)])
+
+
+@jax.jit
+def join_packed(*packed: jnp.ndarray) -> jnp.ndarray:
+    """Concatenate per-chunk ``[2, B_i]`` results along the batch axis.
+
+    Jitted on purpose: an *eager* concatenate is dispatched synchronously
+    and costs a full relay round-trip (plus a first-use compile measured in
+    seconds) on tunneled backends, while a jit call is enqueued async like
+    the match kernels — so the whole round stays at exactly one blocking
+    device->host fetch.  Recompiles per distinct chunk-count/shape tuple;
+    the batcher's bucket scheme keeps that set tiny.
+    """
+    return jnp.concatenate(packed, axis=1)

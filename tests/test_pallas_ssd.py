@@ -33,7 +33,39 @@ def test_pallas_rescore_matches_xla(n, lp):
 
 def test_supported_cap():
     assert pallas_rescore_supported(1 << 17)
-    assert not pallas_rescore_supported(1 << 18)
+    assert pallas_rescore_supported(1 << 19)
+    assert not pallas_rescore_supported(1 << 20)
+    assert not pallas_rescore_supported((1 << 14) + 64)  # not lane-aligned
+
+
+@pytest.mark.parametrize("pat_cap", [512, 3072, None])
+def test_pallas_rescore_pat_cap(pat_cap):
+    # pat_cap trims work but must not change results while >= every pat_len
+    rng = np.random.RandomState(11)
+    n, batch, k, lp = 8192, 3, 6, 500
+    patterns = np.zeros((batch, n), np.float32)
+    windows = np.zeros((batch, n), np.float32)
+    pat_lens = np.full(batch, lp, np.int32)
+    lags = np.zeros((batch, k), np.int32)
+    for b in range(batch):
+        win_len = n - 128
+        windows[b, :win_len] = rng.rand(win_len)
+        patterns[b, :lp] = rng.rand(lp)
+        # include lags near the very end of the window (slice would overrun
+        # n without the zero extension)
+        lags[b] = np.concatenate([
+            rng.randint(0, win_len - lp, k - 1), [win_len - lp]
+        ])
+
+    args = (jnp.asarray(patterns), jnp.asarray(pat_lens), jnp.asarray(windows), jnp.asarray(lags))
+    ref_num, ref_energy = _rescore_candidates(*args)
+    pal_num, pal_energy = rescore_candidates_pallas(*args, pat_cap, interpret=True)
+    xla_num, xla_energy = _rescore_candidates(*args, pat_cap)
+
+    np.testing.assert_allclose(np.asarray(pal_num), np.asarray(ref_num), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(pal_energy), np.asarray(ref_energy), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(xla_num), np.asarray(ref_num), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(xla_energy), np.asarray(ref_energy), rtol=1e-6)
 
 
 def test_match_padded_uses_auto_path():
