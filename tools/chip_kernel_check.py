@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Compiled-kernel parity check on real TPU hardware.
+
+The unit tests exercise the Pallas rescore in *interpret* mode (they run on
+the CPU backend), which executes the kernel's semantics but not Mosaic's
+compiled lowering.  This check runs the actual compiled kernel on the chip
+against the XLA formulation across power-of-two AND 3-smooth row lengths —
+the class of bug it exists to catch is a lowering that silently
+miscomputes at some shape (the original (1, n) full-row-roll kernel did
+exactly that at non-pow2 n, which unit tests could not see).
+
+Run directly on a TPU host: ``python tools/chip_kernel_check.py``.
+Exits non-zero on any mismatch.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> int:
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from sushi_tpu.ops.pallas_ssd import rescore_candidates_pallas
+    from sushi_tpu.ops.sqdiff import _rescore_candidates
+
+    backend = jax.default_backend()
+    if backend != "tpu":
+        print(f"chip_kernel_check: backend is {backend!r}, nothing to check", file=sys.stderr)
+        return 0
+
+    rng = np.random.RandomState(8)
+    cases = [
+        (4096, 500, None),
+        (24576, 18000, None),       # 3-smooth, probe-refine shape
+        (98304, 30000, 49152),      # 3-smooth, the dominant episode bucket
+        (131072, 42000, 49152),
+        (98304, 30000, None),
+        (524288, 100000, 131072),   # above the auto cap; direct call
+    ]
+    failures = 0
+    for n, lp, pat_cap in cases:
+        batch, k = 4, 18
+        patterns = np.zeros((batch, n), np.float32)
+        windows = np.zeros((batch, n), np.float32)
+        pat_lens = np.full(batch, lp, np.int32)
+        lags = np.zeros((batch, k), np.int32)
+        for b in range(batch):
+            win_len = n - 256
+            windows[b, :win_len] = rng.rand(win_len)
+            patterns[b, :lp] = rng.rand(lp)
+            lags[b] = np.concatenate(
+                [rng.randint(0, win_len - lp, k - 1), [win_len - lp]]
+            )
+        args = (
+            jnp.asarray(patterns),
+            jnp.asarray(pat_lens),
+            jnp.asarray(windows),
+            jnp.asarray(lags),
+        )
+        ref_num, ref_energy = jax.jit(_rescore_candidates)(*args)
+        pal_num, pal_energy = jax.jit(
+            lambda *a: rescore_candidates_pallas(*a, pat_cap, interpret=False)
+        )(*args)
+        en = np.abs(np.asarray(pal_num) - np.asarray(ref_num)) / (
+            np.abs(np.asarray(ref_num)) + 1e-9
+        )
+        ee = np.abs(np.asarray(pal_energy) - np.asarray(ref_energy)) / (
+            np.abs(np.asarray(ref_energy)) + 1e-9
+        )
+        ok = en.max() < 1e-5 and ee.max() < 1e-5
+        failures += 0 if ok else 1
+        print(
+            "chip_kernel_check: n=%d lp=%d cap=%s rel-err num %.2e energy %.2e %s"
+            % (n, lp, pat_cap, en.max(), ee.max(), "ok" if ok else "MISMATCH"),
+            file=sys.stderr,
+        )
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
