@@ -315,3 +315,33 @@ def test_alignment_seed_disk_memo(tmp_path, monkeypatch):
     batcher._DELTA0_MEMO.clear()
     matcher = DeviceMatcher(src, dst, groups_to_spans(make_groups(EVENTS), src))
     assert matcher.global_alignment_estimate() == -41004
+
+
+def test_fft_bucket_admits_3smooth(monkeypatch):
+    from sushi_tpu.align import batcher
+
+    # 2^k and 3*2^(k-1) sizes, ascending
+    assert batcher._fft_bucket(1) == batcher._MIN_FFT
+    assert batcher._fft_bucket(4096) == 4096
+    assert batcher._fft_bucket(4097) == 6144
+    assert batcher._fft_bucket(6144) == 6144
+    assert batcher._fft_bucket(6145) == 8192
+    assert batcher._fft_bucket(70000) == 98304
+    assert batcher._fft_bucket(100000) == 131072
+    # every admitted size keeps the kernel's 128-lane block reshape legal
+    for probe in range(1, 1 << 20, 4093):
+        assert batcher._fft_bucket(probe) % 128 == 0
+        assert batcher._fft_bucket(probe) >= min(probe, batcher._MAX_FFT)
+    # respects a (test-shrunk) cap read at call time
+    monkeypatch.setattr(batcher, "_MAX_FFT", 1 << 14)
+    assert batcher._fft_bucket(1 << 20) == 1 << 14
+
+
+def test_join_packed_matches_concat():
+    import jax.numpy as jnp
+    from sushi_tpu.ops import sqdiff
+
+    a = jnp.arange(8, dtype=jnp.float32).reshape(2, 4)
+    b = jnp.arange(6, dtype=jnp.float32).reshape(2, 3) + 100
+    joined = np.asarray(sqdiff.join_packed(a, b))
+    np.testing.assert_array_equal(joined, np.concatenate([np.asarray(a), np.asarray(b)], axis=1))
