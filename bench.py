@@ -222,6 +222,25 @@ def measure_kernel_throughput():
     log("bench: kernel-only throughput — " + "; ".join(report))
 
 
+def run_chip_kernel_check():
+    """Compiled-vs-XLA parity of the Pallas rescore on the real chip (the
+    unit tests run it interpreted on CPU, which cannot see Mosaic lowering
+    bugs — e.g. the (1, n) roll kernel that miscompiled at 3-smooth n).
+    Returns True/False for a real chip run, None when there is no TPU to
+    check (so the JSON cannot report a green parity signal for a check
+    that never executed)."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        log("bench: chip kernel parity check SKIPPED (no TPU backend)")
+        return None
+    from tools.chip_kernel_check import main as chip_check
+
+    ok = chip_check() == 0
+    log("bench: chip kernel parity check %s" % ("PASSED" if ok else "FAILED"))
+    return ok
+
+
 def run_regression():
     """Run the end-to-end regression harness (tools/regression.py) and
     report pass/fail — the bench fails loudly on budget or expected-error
@@ -356,6 +375,7 @@ def main():
 
     ours = measure_ours(src_wav, dst_wav, script)
     worst = check_output_correctness()
+    kernel_parity = run_chip_kernel_check()
     measure_kernel_throughput()
     search_seconds, telemetry = measure_stages(src_wav, dst_wav, script)
     season_seconds = measure_season(src_wav, dst_wav, script, episodes=12)
@@ -375,6 +395,7 @@ def main():
         "season_12_episodes_seconds": round(season_seconds, 3),
         "season_episodes_per_minute": round(12 * 60.0 / season_seconds, 1),
         "regression_passed": regression_passed,
+        "chip_kernel_parity": kernel_parity,
         "device_rounds": telemetry["rounds"],
         "device_requests": telemetry["requests"],
         "device_dispatch_seconds": telemetry["dispatch_seconds"],

@@ -47,8 +47,12 @@ from jax.experimental.pallas import tpu as pltpu
 _LANES = 128
 
 # the window block is (n + pat_cap + 128) floats and the pattern block
-# pat_cap floats, double-buffered: ~2.5 MB at n=2^17, ~9 MB at n=2^19 —
-# inside the ~16 MB VMEM budget.  Larger rows use the XLA rescore.
+# pat_cap floats, double-buffered: worst case (pat_cap = n) that is
+# ~(3n+128)*4*2 bytes of blocks plus per-candidate temps — ~12.6 MB of
+# blocks at n=2^19, which compiles and runs on real v5e hardware
+# (verified by tools/chip_kernel_check.py's pat_cap=None cases and
+# bench.py's n=524288 kernel-throughput measurement).  Larger rows use
+# the XLA rescore.
 MAX_PALLAS_ROW = 1 << 19
 
 

@@ -42,7 +42,13 @@ def main() -> int:
         (98304, 30000, 49152),      # 3-smooth, the dominant episode bucket
         (131072, 42000, 49152),
         (98304, 30000, None),
-        (524288, 100000, 131072),   # above the auto cap; direct call
+        # pat_cap=None at large n: the auto path's VMEM-worst configs
+        # (these are exactly what bench.py's kernel-throughput measurement
+        # and match_padded callers execute) — MAX_PALLAS_ROW is sized by
+        # these compiling and matching on real hardware
+        (131072, 42000, None),
+        (524288, 100000, None),
+        (524288, 100000, 131072),
     ]
     failures = 0
     for n, lp, pat_cap in cases:
