@@ -49,7 +49,7 @@ _log = logging.getLogger("sushi_tpu")
 
 _MIN_FFT = 1 << 12
 _MAX_FFT = 1 << 22
-_BATCH_BUCKETS = (1, 8, 32, 128)
+_BATCH_BUCKETS = (1, 8, 32, 64, 128)
 # cap on B*n elements per device call to bound working-set memory
 _MAX_BATCH_ELEMENTS = 1 << 26
 
