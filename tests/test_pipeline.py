@@ -151,3 +151,19 @@ def test_identical_src_dst_zero_shift(media):
     result = SrtScript.from_file(out)
     for event, (start, _, _) in zip(result.events, EVENTS):
         assert event.start == pytest.approx(start, abs=1e-3)
+
+
+def test_float32_sample_type_end_to_end(media):
+    # --sample-type float32 (reference sushi.py:769-770, SUPPRESS'd flag):
+    # the device path must handle float32-resident streams, not just uint8
+    tmp, src_wav, dst_wav = media
+    script = str(tmp / "in3.srt")
+    out = str(tmp / "out3.srt")
+    write_srt(script, EVENTS)
+    run_cli([
+        "--src", src_wav, "--dst", dst_wav, "--script", script, "-o", out,
+        "--sample-type", "float32",
+    ])
+    result = SrtScript.from_file(out)
+    for event, (start, _, _) in zip(result.events, EVENTS):
+        assert event.start == pytest.approx(start + TRUE_SHIFT, abs=2e-3)
