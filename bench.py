@@ -267,7 +267,8 @@ def run_regression():
                 env=env, cwd=repo, capture_output=True, text=True, timeout=600, check=True,
             )
         result = subprocess.run(
-            [sys.executable, "tools/regression.py", os.path.join(base, "regression.json")],
+            [sys.executable, "tools/regression.py", os.path.join(base, "regression.json"),
+             "--jobs", "4"],
             env=env, cwd=repo, capture_output=True, text=True, timeout=1200,
         )
         passed = result.returncode == 0

@@ -193,6 +193,11 @@ def main() -> None:
     parser.add_argument("config", nargs="?", help="regression.json path")
     parser.add_argument("--make-fixtures", metavar="DIR", help="synthesize default fixtures into DIR")
     parser.add_argument("--only", default=None, help="run only the named test")
+    parser.add_argument(
+        "--jobs", default=1, type=int,
+        help="CLI tests to run concurrently (each is its own subprocess; "
+        "per-test wall-time budgets are only meaningful at --jobs 1)",
+    )
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO, format="%(message)s")
@@ -211,11 +216,19 @@ def main() -> None:
     base = os.path.dirname(os.path.abspath(config_path))
 
     failed = []
-    for test in config.get("tests", []):
-        if args.only and test["name"] != args.only:
-            continue
-        if not run_test(test, base):
-            failed.append(test["name"])
+    selected = [t for t in config.get("tests", []) if not args.only or t["name"] == args.only]
+    if args.jobs > 1 and len(selected) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=args.jobs) as pool:
+            for test, ok in zip(selected, pool.map(lambda t: run_test(t, base), selected)):
+                if not ok:
+                    failed.append(test["name"])
+    else:
+        for test in selected:
+            if not run_test(test, base):
+                failed.append(test["name"])
+    # wav perf/RSS budget tests measure this process's rusage: keep serial
     for test in config.get("wav_tests", []):
         if args.only and test["name"] != args.only:
             continue
