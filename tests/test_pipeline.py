@@ -167,3 +167,19 @@ def test_float32_sample_type_end_to_end(media):
     result = SrtScript.from_file(out)
     for event, (start, _, _) in zip(result.events, EVENTS):
         assert event.start == pytest.approx(start + TRUE_SHIFT, abs=2e-3)
+
+
+def test_alternate_sample_rate_end_to_end(media):
+    # --sample-rate 24000 (reference sushi.py:772-773): window arithmetic,
+    # padding, and kernel shapes must all follow the analysis rate
+    tmp, src_wav, dst_wav = media
+    script = str(tmp / "in4.srt")
+    out = str(tmp / "out4.srt")
+    write_srt(script, EVENTS)
+    run_cli([
+        "--src", src_wav, "--dst", dst_wav, "--script", script, "-o", out,
+        "--sample-rate", "24000",
+    ])
+    result = SrtScript.from_file(out)
+    for event, (start, _, _) in zip(result.events, EVENTS):
+        assert event.start == pytest.approx(start + TRUE_SHIFT, abs=2e-3)
