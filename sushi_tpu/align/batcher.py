@@ -33,6 +33,7 @@ from __future__ import annotations
 import logging
 import math
 import os
+import threading
 import time
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -163,6 +164,10 @@ _UPLOAD_MEMO_MAX = int(os.environ.get("SUSHI_UPLOAD_MEMO", "32"))
 # {(src cache_key, dst cache_key): whole-stream alignment estimate}
 _DELTA0_MEMO: Dict[Tuple[str, str], int] = {}
 
+# season ingest threads hit the memos concurrently; lockless eviction would
+# race (two threads pop the same key -> KeyError kills the whole batch)
+_MEMO_LOCK = threading.Lock()
+
 
 def _probe_refine_plan(coarse: int, src_len: int, dst_len: int, sample_rate: int) -> Optional[PlannedSearch]:
     """Exact-refine plan for a whole-stream alignment estimate.
@@ -196,14 +201,16 @@ def upload_stream(stream: AudioStream):
 
     key = getattr(stream, "cache_key", None)
     if key is not None:
-        cached = _UPLOAD_MEMO.get(key)
+        with _MEMO_LOCK:
+            cached = _UPLOAD_MEMO.get(key)
         if cached is not None and len(cached) >= len(stream.data):
             return cached
     device = jnp.asarray(pad_stream_for_device(stream.data))
     if key is not None:
-        while len(_UPLOAD_MEMO) >= _UPLOAD_MEMO_MAX:
-            _UPLOAD_MEMO.pop(next(iter(_UPLOAD_MEMO)))
-        _UPLOAD_MEMO[key] = device
+        with _MEMO_LOCK:
+            while len(_UPLOAD_MEMO) >= _UPLOAD_MEMO_MAX:
+                _UPLOAD_MEMO.pop(next(iter(_UPLOAD_MEMO)))
+            _UPLOAD_MEMO[key] = device
     return device
 
 
@@ -337,14 +344,16 @@ class DeviceMatcher:
         memo_key = None
         if self._src_key is not None and self._dst_key is not None:
             memo_key = (self._src_key, self._dst_key)
-            cached = _DELTA0_MEMO.get(memo_key)
+            with _MEMO_LOCK:
+                cached = _DELTA0_MEMO.get(memo_key)
             if cached is not None:
                 return cached
             from sushi_tpu.media import stream_cache
 
             stored = stream_cache.load_alignment_seed(*memo_key)
             if stored is not None:
-                _DELTA0_MEMO[memo_key] = stored
+                with _MEMO_LOCK:
+                    _DELTA0_MEMO[memo_key] = stored
                 return stored
 
         import jax.numpy as jnp
@@ -369,9 +378,10 @@ class DeviceMatcher:
             delta0 = result[refine.key][2] - refine.pat_start
 
         if memo_key is not None:
-            while len(_DELTA0_MEMO) >= 64:
-                _DELTA0_MEMO.pop(next(iter(_DELTA0_MEMO)))
-            _DELTA0_MEMO[memo_key] = delta0
+            with _MEMO_LOCK:
+                while len(_DELTA0_MEMO) >= 64:
+                    _DELTA0_MEMO.pop(next(iter(_DELTA0_MEMO)))
+                _DELTA0_MEMO[memo_key] = delta0
             from sushi_tpu.media import stream_cache
 
             stream_cache.store_alignment_seed(memo_key[0], memo_key[1], delta0)

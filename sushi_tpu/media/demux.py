@@ -60,6 +60,11 @@ def get_extension(path: str) -> str:
     return os.path.splitext(path)[1].lower()
 
 
+# subtitle codec name -> script extension, shared by the ffprobe and the
+# ffmpeg-stderr probe so both report identical stream types
+SUBS_EXTENSION_MAP = {"ssa": ".ass", "ass": ".ass", "subrip": ".srt"}
+
+
 class FFmpeg:
     @staticmethod
     def get_info(path: str) -> str:
@@ -140,10 +145,9 @@ class FFmpeg:
 
     @classmethod
     def _get_subtitles_streams(cls, info: str) -> List[SubtitlesStreamInfo]:
-        extension_map = {"ssa": ".ass", "ass": ".ass", "subrip": ".srt"}
         return [
             SubtitlesStreamInfo(
-                int(m[0]), m[1], extension_map.get(m[2], m[2]), m[3] != "", m[4].strip()
+                int(m[0]), m[1], SUBS_EXTENSION_MAP.get(m[2], m[2]), m[3] != "", m[4].strip()
             )
             for m in cls._SUBS_REGEX.findall(info)
         ]
@@ -171,8 +175,6 @@ class FFprobe:
     Returns None whenever ffprobe is missing or its output is unusable so
     the caller can fall back to the scrape.
     """
-
-    _SUBS_EXTENSION_MAP = {"ssa": ".ass", "ass": ".ass", "subrip": ".srt"}
 
     @staticmethod
     def get_output(path: str) -> Optional[str]:
@@ -227,7 +229,7 @@ class FFprobe:
                         SubtitlesStreamInfo(
                             index,
                             info,
-                            cls._SUBS_EXTENSION_MAP.get(codec_name, codec_name),
+                            SUBS_EXTENSION_MAP.get(codec_name, codec_name),
                             default,
                             title,
                         )

@@ -100,11 +100,13 @@ def _try_read(directory: str, key: str) -> Optional[AudioStream]:
 def _write(directory: str, key: str, stream: AudioStream) -> None:
     try:
         os.makedirs(directory, exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=directory, suffix=".npy.tmp")
+        # suffix must end in '.npy': np.save appends '.npy' to other names,
+        # which would leave the original mkstemp file as a permanent orphan
+        # (and orphans from crashes still match _evict's '.npy' scan)
+        fd, tmp = tempfile.mkstemp(dir=directory, suffix=".tmp.npy")
         os.close(fd)
         np.save(tmp, stream.data, allow_pickle=False)
-        # np.save appends .npy to names without it
-        saved = tmp if tmp.endswith(".npy") else tmp + ".npy"
+        saved = tmp
         meta = {
             "sample_rate": stream.sample_rate,
             "sample_count": stream.sample_count,

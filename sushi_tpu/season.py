@@ -64,6 +64,7 @@ class _Episode:
     matcher: DeviceMatcher
     demuxers: List[Demuxer]
     prepared_seconds: float
+    chapter_times: List[float]
 
 
 def load_jobs(path: str) -> List[SeasonJob]:
@@ -103,7 +104,20 @@ def _resolve_audio(
     from sushi_tpu.pipeline import format_full_path
 
     demuxer = Demuxer(path)
-    audio_path = format_full_path(temp_dir, path, ".sushi.wav")
+    if temp_dir:
+        # the single-episode pipeline keys temp files by basename alone
+        # (reference sushi.py:516-518); a season runs MANY jobs into one
+        # temp dir concurrently, where src/dst or two episodes sharing a
+        # basename would demux onto each other's audio — disambiguate with
+        # a hash of the absolute path
+        import hashlib
+
+        digest = hashlib.sha1(os.path.abspath(path).encode("utf-8")).hexdigest()[:10]
+        audio_path = os.path.join(
+            temp_dir, "%s.%s.sushi.wav" % (os.path.basename(path), digest)
+        )
+    else:
+        audio_path = format_full_path(temp_dir, path, ".sushi.wav")
     demuxer.set_audio(stream_idx=stream_idx, output_path=audio_path, sample_rate=sample_rate)
     demuxer.demux()
     if not os.path.exists(audio_path):
@@ -136,10 +150,14 @@ def _prepare_episode(
     script = load_script(job.script)
     script.sort_by_time()
     src_stream, dst_stream = load_pair(src_audio, dst_audio, sample_rate, sample_type)
+    # container sources carry chapters; grouping must honor them like the
+    # single-episode pipeline (typesetting merges are chapter-bounded and
+    # post-processing averages per chapter group, pipeline.py:119-132,227)
+    chapter_times = list(src_demuxer.chapters) if src_demuxer is not None else []
     groups = prepare_search_groups(
         script.events,
         source_duration=src_stream.duration_seconds,
-        chapter_times=[],
+        chapter_times=chapter_times,
         max_ts_duration=max_ts_duration,
         max_ts_distance=max_ts_distance,
     )
@@ -164,15 +182,24 @@ def _prepare_episode(
         matcher=matcher,
         demuxers=demuxers,
         prepared_seconds=time.time() - started,
+        chapter_times=chapter_times,
     )
 
 
 def _finish_episode(episode: _Episode, smooth_radius: int) -> None:
     episode.session.finalize()
     events = episode.script.events
-    heuristics.fix_near_borders(events)
-    heuristics.smooth_events([e for e in events if not e.linked], smooth_radius)
-    groups = heuristics.detect_groups(events)
+    if episode.chapter_times:
+        # chapter-aware post-processing, same order as pipeline.py:227-234
+        groups = heuristics.groups_from_chapters(events, episode.chapter_times)
+        for group in groups:
+            heuristics.fix_near_borders(group)
+            heuristics.smooth_events([e for e in group if not e.linked], smooth_radius)
+        groups = heuristics.split_broken_groups(groups)
+    else:
+        heuristics.fix_near_borders(events)
+        heuristics.smooth_events([e for e in events if not e.linked], smooth_radius)
+        groups = heuristics.detect_groups(events)
     for group in groups:
         heuristics.average_shifts(group)
     for event in events:

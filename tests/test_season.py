@@ -136,3 +136,31 @@ def test_season_demuxes_containers(tmp_path, fake_ffmpeg):
     # demuxed audio landed in the temp dir and is kept without --cleanup
     demuxed = [n for n in os.listdir(temp_dir) if n.endswith(".sushi.wav")]
     assert len(demuxed) == len(shifts)
+
+
+def test_season_same_basename_containers_do_not_collide(tmp_path, fake_ffmpeg):
+    """TV/ep01.mkv vs BD/ep01.mkv with --temp-dir: the demuxed audio paths
+    must not collide (keyed by basename alone they would, and the episode
+    would silently sync against itself with shift ~0)."""
+    shift = 2.0
+    audio = synth_episode(16.0, EVENTS, seed=90)
+    dst_audio = shift_audio(audio, shift)
+    tv, bd = tmp_path / "TV", tmp_path / "BD"
+    tv.mkdir(), bd.mkdir()
+    src_container = str(tv / "ep01.mkv")
+    dst_container = str(bd / "ep01.mkv")
+    for container, wav in ((src_container, audio), (dst_container, dst_audio)):
+        with open(container, "w") as handle:
+            handle.write("not really matroska")
+        write_wav_int16(container[: -len(".mkv")] + ".hidden.wav", wav)
+    script = str(tmp_path / "ep01.srt")
+    write_srt(script, [(s, e, "line") for s, e in EVENTS])
+    out = str(tmp_path / "ep01.out.srt")
+
+    temp_dir = str(tmp_path / "work")
+    sync_season([SeasonJob(src_container, dst_container, script, out)],
+                temp_dir=temp_dir, io_threads=2)
+
+    result = SrtScript.from_file(out)
+    for event, (start, _) in zip(result.events, EVENTS):
+        assert event.start == pytest.approx(start + shift, abs=2e-3)

@@ -54,7 +54,7 @@ def compare_scripts(ideal_path: str, output_path: str, fps: float) -> int:
     return failures
 
 
-def run_test(test: dict, base: str) -> bool:
+def run_test(test: dict, base: str, enforce_time_budget: bool = True) -> bool:
     name = test["name"]
     out_path = os.path.join(base, name + ".out" + os.path.splitext(test["script"])[1])
     cmd = [
@@ -78,8 +78,12 @@ def run_test(test: dict, base: str) -> bool:
         return False
     max_time = test.get("max_time")
     if max_time and elapsed > max_time:
-        logging.error("[%s] FAILED: took %.2fs, budget %.2fs", name, elapsed, max_time)
-        return False
+        if enforce_time_budget:
+            logging.error("[%s] FAILED: took %.2fs, budget %.2fs", name, elapsed, max_time)
+            return False
+        # concurrent tests oversubscribe the host; wall-clock budgets only
+        # mean anything when tests run alone
+        logging.info("[%s] over budget (%.2fs > %.2fs) but --jobs > 1; not enforced", name, elapsed, max_time)
     logging.info("[%s] ok: %d expected line errors, %.2fs", name, failures, elapsed)
     return True
 
@@ -221,7 +225,8 @@ def main() -> None:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=args.jobs) as pool:
-            for test, ok in zip(selected, pool.map(lambda t: run_test(t, base), selected)):
+            outcomes = pool.map(lambda t: run_test(t, base, enforce_time_budget=False), selected)
+            for test, ok in zip(selected, outcomes):
                 if not ok:
                     failed.append(test["name"])
     else:
