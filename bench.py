@@ -185,6 +185,28 @@ def measure_season(src_wav, dst_wav, script, episodes=12):
     return elapsed
 
 
+def measure_relay_rtt():
+    """One jit-dispatch + tiny fetch: the per-round latency floor this host
+    pays to reach the chip.  On a local TPU this is ~0; through the tunnel
+    it is tens of ms — reported so the wall-clock numbers can be read
+    against the BASELINE '<1s device time' target."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    bump = jax.jit(lambda v: v + 1)
+    probe = jnp.zeros((2,), jnp.float32)
+    np.asarray(bump(probe))
+    samples = []
+    for _ in range(5):
+        t0 = time.time()
+        np.asarray(bump(probe))
+        samples.append(time.time() - t0)
+    rtt = sorted(samples)[len(samples) // 2]
+    log("bench: device round-trip (jit dispatch + tiny fetch): %.1fms median" % (rtt * 1e3))
+    return rtt
+
+
 def measure_kernel_throughput():
     """Device-only kernel throughput: batched searches per second at the
     standard bucket shapes (no host, no transfers — pure device rate)."""
@@ -377,6 +399,7 @@ def main():
     ours = measure_ours(src_wav, dst_wav, script)
     worst = check_output_correctness()
     kernel_parity = run_chip_kernel_check()
+    relay_rtt = measure_relay_rtt()
     measure_kernel_throughput()
     search_seconds, telemetry = measure_stages(src_wav, dst_wav, script)
     season_seconds = measure_season(src_wav, dst_wav, script, episodes=12)
@@ -401,6 +424,7 @@ def main():
         "device_requests": telemetry["requests"],
         "device_dispatch_seconds": telemetry["dispatch_seconds"],
         "device_fetch_seconds": telemetry["fetch_seconds"],
+        "relay_rtt_seconds": round(relay_rtt, 4),
         "device_coarse_gflop": telemetry["coarse_gflop"],
         "device_gflops": telemetry["device_gflops"],
         "device_gathered_gb": telemetry["gathered_gb"],

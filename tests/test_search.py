@@ -345,3 +345,28 @@ def test_join_packed_matches_concat():
     b = jnp.arange(6, dtype=jnp.float32).reshape(2, 3) + 100
     joined = np.asarray(sqdiff.join_packed(a, b))
     np.testing.assert_array_equal(joined, np.concatenate([np.asarray(a), np.asarray(b)], axis=1))
+
+
+def test_upload_memo_eviction_thread_safe(monkeypatch):
+    # season ingest threads hammer the memo concurrently; lockless eviction
+    # raced (two threads popping the same key -> KeyError)
+    from concurrent.futures import ThreadPoolExecutor
+
+    from sushi_tpu.align import batcher
+
+    monkeypatch.setattr(batcher, "_UPLOAD_MEMO_MAX", 4)
+    monkeypatch.setattr(batcher, "_UPLOAD_MEMO", {})
+
+    class FakeStream:
+        def __init__(self, key):
+            self.cache_key = key
+            self.data = np.zeros(16, np.uint8)
+
+    def hammer(worker):
+        for i in range(60):
+            batcher.upload_stream(FakeStream(f"w{worker}-k{i}"))
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for future in [pool.submit(hammer, w) for w in range(8)]:
+            future.result()  # raises if any eviction raced
+    assert len(batcher._UPLOAD_MEMO) <= 4
