@@ -30,15 +30,23 @@ MAX_GROUP_STD = 0.025
 
 
 def interpolate_nones(data: Sequence[Optional[float]], points: Sequence[float]) -> List[float]:
-    """Fill None entries by linear interpolation over ``points``."""
+    """Fill None entries by linear interpolation over ``points``.
+
+    Matches /root/reference/sushi.py:71-93 exactly: the early return fires
+    only when there is no None at ALL — a None whose point duplicates a
+    point that also carries a value (e.g. two groups sharing a boundary
+    time) is filled from that duplicate's known value, not left as None.
+    """
     data = list(data)
     known = {p: v for p, v in zip(points, data) if v is not None}
     if not known:
         return []
-    missing = sorted({p for p, v in zip(points, data) if v is None} - set(known))
-    if not missing:
+    if not any(v is None for v in data):
         return data
 
+    # may be empty when every None point duplicates a known point —
+    # np.interp over [] is empty and the final pass fills from `known`
+    missing = sorted({p for p, v in zip(points, data) if v is None} - set(known))
     anchors = sorted(known.items())
     filled = np.interp(
         x=missing, xp=[p for p, _ in anchors], fp=[v for _, v in anchors]

@@ -126,6 +126,11 @@ def run_search(
         # a committed fail-out (shift None) cannot happen while searching:
         # the fail-out path below consumes all remaining groups at once
         assert last_committed is not None
+        # initialized ONCE per group like the reference (sushi.py:421): if
+        # both verified probes are guard-skipped, the small-window fast-path
+        # result must survive into the uncommitted state, not reset to None
+        diff = None
+        new_time = None
 
         if not uncommitted:
             if original_time + last_committed > dst_duration:
@@ -136,8 +141,6 @@ def run_search(
                     _log.info("%s-%s: outside of audio range", _fmt(later.start), _fmt(later.end))
                 break
 
-            new_time = None
-            diff = None
             if SMALL_WINDOW < window:
                 diff, new_time = find(
                     SearchRequest(idx, FULL, original_time + last_committed, SMALL_WINDOW)
@@ -154,8 +157,6 @@ def run_search(
                 continue
 
         terminate = False
-        diff = None
-        new_time = None
         if original_time + last_committed < dst_duration:
             diff, new_time, terminate = verified_probe(group, original_time, last_committed)
 

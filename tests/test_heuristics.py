@@ -71,6 +71,13 @@ def test_interpolate_nones_no_nones():
     assert heuristics.interpolate_nones([5, 6], [1, 2]) == [5, 6]
 
 
+def test_interpolate_nones_duplicate_point_fills_from_known():
+    # a None whose point duplicates a point carrying a value takes that
+    # value (reference sushi.py:71-93: only "no Nones at all" returns early)
+    assert heuristics.interpolate_nones([1.0, None], [5.0, 5.0]) == [1.0, 1.0]
+    assert heuristics.interpolate_nones([None, 2.0, None, 7.0], [3.0, 3.0, 5.0, 5.0]) == [2.0, 2.0, 7.0, 7.0]
+
+
 # --- running_median / smooth_events ------------------------------------------
 
 
