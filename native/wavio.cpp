@@ -68,12 +68,24 @@ int parse_header(std::FILE* file, WavHeader* header) {
       if (fmt.format_tag != kFormatPcm && fmt.format_tag != kFormatExtensible &&
           fmt.format_tag != kFormatFloat)
         return -4;
-      header->float_samples = fmt.format_tag == kFormatFloat;
+      uint16_t effective_tag = fmt.format_tag;
+      uint32_t consumed = 16;
+      if (fmt.format_tag == kFormatExtensible && chunk_size >= 26) {
+        // effective format = first word of the SubFormat GUID (offset 24,
+        // after cbSize + wValidBitsPerSample + dwChannelMask) — mirrors
+        // riff.py so both ingest paths classify float WAVs identically
+        uint8_t ext[10];
+        if (std::fread(ext, 1, 10, file) != 10) return -3;
+        effective_tag = static_cast<uint16_t>(ext[8] | (ext[9] << 8));
+        if (effective_tag != kFormatPcm && effective_tag != kFormatFloat) return -4;
+        consumed = 26;
+      }
+      header->float_samples = effective_tag == kFormatFloat;
       header->channels = fmt.channels;
       header->framerate = fmt.framerate;
       header->sample_width = (fmt.bits + 7) / 8;
       if (header->float_samples && header->sample_width != 4) return -4;
-      std::fseek(file, chunk_size - 16 + (chunk_size % 2), SEEK_CUR);
+      std::fseek(file, static_cast<long>(chunk_size - consumed + (chunk_size % 2)), SEEK_CUR);
       fmt_read = true;
     } else if (std::memcmp(four, "data", 4) == 0) {
       if (!fmt_read) return -5;

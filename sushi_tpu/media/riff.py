@@ -86,6 +86,15 @@ class WaveReader:
         )
         if format_tag not in (WAVE_FORMAT_PCM, WAVE_FORMAT_EXTENSIBLE, WAVE_FORMAT_IEEE_FLOAT):
             raise SushiError("unknown format: {0}".format(format_tag))
+        if format_tag == WAVE_FORMAT_EXTENSIBLE and len(payload) >= 26:
+            # the effective format is the first word of the SubFormat GUID
+            # (offset 24: after cbSize, wValidBitsPerSample, dwChannelMask);
+            # without this an EXTENSIBLE float WAV would be reinterpreted
+            # as int32 PCM and decode to noise
+            (sub_tag,) = struct.unpack("<H", payload[24:26])
+            if sub_tag not in (WAVE_FORMAT_PCM, WAVE_FORMAT_IEEE_FLOAT):
+                raise SushiError("unknown extensible sub-format: {0}".format(sub_tag))
+            format_tag = sub_tag
         self._float_samples = format_tag == WAVE_FORMAT_IEEE_FLOAT
         self.channels_count = channels
         self.framerate = framerate

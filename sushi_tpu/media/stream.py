@@ -67,10 +67,7 @@ class AudioStream:
             total_seconds = reader.frames_count / float(reader.framerate)
             downsample_rate = sample_rate / float(reader.framerate)
 
-            self.sample_count = int(math.ceil(total_seconds * sample_rate))
-            self.sample_rate = sample_rate
-            self.padding_size = PADDING_SECONDS * reader.framerate
-            buffer_len = int(self.padding_size * 2 + self.sample_count)
+            buffer_len = self._set_buffer_geometry(reader.frames_count, reader.framerate, sample_rate)
             data = np.zeros(buffer_len, np.float32)
 
             try:
@@ -115,6 +112,18 @@ class AudioStream:
         self.data = data
         _log.info("Done reading WAV %s in %fs", path, time.time() - started)
 
+    def _set_buffer_geometry(self, frames_count: int, framerate: int, sample_rate: int) -> int:
+        """Analysis-buffer geometry shared by the native and NumPy ingest
+        paths — ONE implementation of the reference's padding arithmetic
+        quirk (padding sized in SOURCE frames indexing the analysis-rate
+        buffer, /root/reference/wav.py:119-120) so the two paths can never
+        desynchronize.  Returns the buffer length."""
+        total_seconds = frames_count / float(framerate)
+        self.sample_count = int(math.ceil(total_seconds * sample_rate))
+        self.sample_rate = sample_rate
+        self.padding_size = PADDING_SECONDS * framerate
+        return int(self.padding_size * 2 + self.sample_count)
+
     def _init_native(self, path: str, sample_rate: int, sample_type: str) -> bool:
         """Fast path: the entire preparation (decode, downmix, downsample,
         pad, 3x-median normalize, quantize) runs fused in C++
@@ -126,11 +135,7 @@ class AudioStream:
             return False
         frames_count, framerate, _channels, _width = probed
 
-        total_seconds = frames_count / float(framerate)
-        self.sample_count = int(math.ceil(total_seconds * sample_rate))
-        self.sample_rate = sample_rate
-        self.padding_size = PADDING_SECONDS * framerate
-        buffer_len = int(self.padding_size * 2 + self.sample_count)
+        buffer_len = self._set_buffer_geometry(frames_count, framerate, sample_rate)
         scratch = np.zeros(buffer_len, np.float32)
         quantized = np.empty(buffer_len, np.uint8) if sample_type == "uint8" else None
 

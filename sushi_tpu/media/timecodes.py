@@ -76,7 +76,7 @@ class Timecodes:
 
     @classmethod
     def from_file(cls, path: str) -> "Timecodes":
-        with open(path, encoding="utf-8") as handle:
+        with open(path, encoding="utf-8-sig", errors="replace") as handle:
             return cls.parse(handle.read())
 
     @classmethod

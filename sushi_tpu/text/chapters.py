@@ -31,12 +31,12 @@ def parse_ogm_start_times(text: str) -> List[float]:
 
 
 def get_xml_start_times(path: str) -> List[float]:
-    with open(path, encoding="utf-8") as handle:
+    with open(path, encoding="utf-8-sig", errors="replace") as handle:
         return parse_xml_start_times(handle.read())
 
 
 def get_ogm_start_times(path: str) -> List[float]:
-    with open(path, encoding="utf-8") as handle:
+    with open(path, encoding="utf-8-sig", errors="replace") as handle:
         return parse_ogm_start_times(handle.read())
 
 

@@ -16,7 +16,7 @@ def parse_scxvid_keyframes(text: str) -> List[int]:
 
 
 def parse_keyframes(path: str) -> List[int]:
-    with open(path, encoding="utf-8") as handle:
+    with open(path, encoding="utf-8-sig", errors="replace") as handle:
         text = handle.read()
     if "# XviD 2pass stat file" in text:
         frames = parse_scxvid_keyframes(text)

@@ -140,16 +140,20 @@ class SrtEvent(ScriptEvent):
     )
 
     @classmethod
-    def from_string(cls, text: str) -> "SrtEvent":
-        match = cls.EVENT_REGEX.match(text)
-        if match is None:
-            raise SushiError("Invalid SRT event: {0!r}".format(text[:80]))
+    def from_match(cls, match: "re.Match") -> "SrtEvent":
         return cls(
             source_index=int(match.group(1)),
             start=parse_srt_time(match.group(2)),
             end=parse_srt_time(match.group(3)),
             text=match.group(4).strip(),
         )
+
+    @classmethod
+    def from_string(cls, text: str) -> "SrtEvent":
+        match = cls.EVENT_REGEX.match(text)
+        if match is None:
+            raise SushiError("Invalid SRT event: {0!r}".format(text[:80]))
+        return cls.from_match(match)
 
     def __str__(self) -> str:
         return "{0}\n{1} --> {2}\n{3}".format(
@@ -160,25 +164,20 @@ class SrtEvent(ScriptEvent):
 class SrtScript(Script):
     @classmethod
     def from_file(cls, path: str) -> "SrtScript":
+        # newline='' matches the reference's codecs.open (no newline
+        # translation): interior \r\n of multiline CRLF cues must survive
+        # verbatim into the retimed output for byte parity
         try:
-            with open(path, encoding="utf-8-sig") as handle:
+            with open(path, encoding="utf-8-sig", newline="") as handle:
                 text = handle.read()
         except IOError:
             raise SushiError("Script {0} not found".format(path))
-        events = [
-            SrtEvent(
-                source_index=int(match.group(1)),
-                start=parse_srt_time(match.group(2)),
-                end=parse_srt_time(match.group(3)),
-                text=match.group(4).strip(),
-            )
-            for match in SrtEvent.EVENT_REGEX.finditer(text)
-        ]
+        events = [SrtEvent.from_match(match) for match in SrtEvent.EVENT_REGEX.finditer(text)]
         return cls(events)
 
     def save_to_file(self, path: str) -> None:
         text = "\n\n".join(str(event) for event in self.events)
-        with open(path, "w", encoding="utf-8") as handle:
+        with open(path, "w", encoding="utf-8", newline="") as handle:
             handle.write(text)
 
 

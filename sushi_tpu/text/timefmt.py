@@ -19,12 +19,13 @@ import math
 
 
 def _round_half_up(value: float) -> int:
-    """Python-2 ``round`` semantics for non-negative values.
-
-    The reference ran on Python 2, where ``round`` rounds half away from
-    zero; Python 3 rounds half to even.  Timestamps are non-negative, so
-    half-up is sufficient for byte-identical output.
-    """
+    """Python-2 ``round`` semantics: half away from zero (Python 3 rounds
+    half to even).  Negative timestamps are reachable — a shift can move an
+    event before time 0 and the reference writes the negative time as-is —
+    so negative halves must round away from zero too (-12.5 -> -13, where
+    plain floor(x + 0.5) would give -12)."""
+    if value < 0:
+        return -int(math.floor(-value + 0.5))
     return int(math.floor(value + 0.5))
 
 

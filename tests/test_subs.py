@@ -134,3 +134,19 @@ def test_event_shifted_times_and_apply():
     e.apply_shift()
     assert e.start == pytest.approx(11.25)
     assert e.end == pytest.approx(13.75)
+
+
+def test_srt_crlf_interior_newlines_preserved(tmp_path):
+    # the reference reads via codecs.open (no newline translation): interior
+    # \r\n of multiline CRLF cues must survive byte-for-byte into the output
+    path = str(tmp_path / "crlf.srt")
+    raw = b"1\r\n00:00:01,000 --> 00:00:02,000\r\nline one\r\nline two\r\n\r\n2\r\n00:00:03,000 --> 00:00:04,000\r\nsolo\r\n"
+    with open(path, "wb") as handle:
+        handle.write(raw)
+    script = SrtScript.from_file(path)
+    assert script.events[0].text == "line one\r\nline two"
+    out = str(tmp_path / "out.srt")
+    script.save_to_file(out)
+    with open(out, "rb") as handle:
+        saved = handle.read()
+    assert b"line one\r\nline two" in saved

@@ -35,3 +35,14 @@ def test_format_srt():
 def test_parse_round_trip():
     assert parse_hms("1:02:03.25") == 3723.25
     assert parse_srt_time("01:02:03,250") == 3723.25
+
+
+def test_negative_half_rounds_away_from_zero():
+    # py2 round(-12.5) == -13: negative shifted times at exact halves must
+    # match (events shifted before 0 are written as-is, like the reference)
+    from sushi_tpu.text.timefmt import _round_half_up
+
+    assert _round_half_up(-12.5) == -13
+    assert _round_half_up(12.5) == 13
+    assert _round_half_up(-12.4) == -12
+    assert _round_half_up(-0.125 * 100) == -13

@@ -193,3 +193,49 @@ class TestNativeIngest:
         write_wav_int16(path, np.zeros((8000, 2), np.int16), framerate=8000)
         assert native.probe(path) == (8000, 8000, 2, 2)
         assert native.probe(str(tmp_path / "missing.wav")) is None
+
+    def test_native_extensible_float_matches_python(self, tmp_path):
+        # both ingest paths must classify the SubFormat GUID identically
+        path = str(tmp_path / "ext.wav")
+        rng = np.random.RandomState(5)
+        samples = (rng.randn(48000 * 2) * 4000).astype(np.float32)
+        _write_extensible_wav(path, samples)
+        native_stream = AudioStream(path, 12000, "uint8", use_native=True)
+        python_stream = AudioStream(path, 12000, "uint8", use_native=False)
+        assert np.array_equal(native_stream.data, python_stream.data)
+
+
+
+def _write_extensible_wav(path, samples_f32, framerate=48000, sub_tag=0x0003):
+    """WAVE_FORMAT_EXTENSIBLE container with a 40-byte fmt chunk whose
+    SubFormat GUID carries the effective format (here IEEE float)."""
+    import struct
+
+    data = samples_f32.astype("<f4").tobytes()
+    guid = struct.pack("<H", sub_tag) + bytes.fromhex("000000000010800000AA00389B71")
+    fmt = struct.pack(
+        "<HHLLHHHHL", 0xFFFE, 1, framerate, framerate * 4, 4, 32, 22, 32, 0x4
+    ) + guid
+    with open(path, "wb") as handle:
+        payload = b"WAVE" + b"fmt " + struct.pack("<L", len(fmt)) + fmt
+        payload += b"data" + struct.pack("<L", len(data)) + data
+        handle.write(b"RIFF" + struct.pack("<L", len(payload)) + payload)
+
+
+def test_wave_reader_extensible_float(tmp_path):
+    # an EXTENSIBLE float WAV must decode as float, not int32-reinterpreted
+    # noise: the effective format is the SubFormat GUID's first word
+    path = str(tmp_path / "ext.wav")
+    samples = np.array([0.0, 0.5, -0.25, 1.0], np.float32)
+    _write_extensible_wav(path, samples)
+    with WaveReader(path) as reader:
+        assert reader.sample_width == 4
+        decoded = reader.readframes(4)
+    np.testing.assert_array_equal(decoded, samples)
+
+
+def test_wave_reader_extensible_unknown_subformat_rejected(tmp_path):
+    path = str(tmp_path / "ext.wav")
+    _write_extensible_wav(path, np.zeros(4, np.float32), sub_tag=0x0055)  # mp3
+    with pytest.raises(SushiError, match="sub-format"):
+        WaveReader(path)
