@@ -21,6 +21,7 @@ import json
 import logging
 import os
 import re
+import shutil
 import subprocess
 from dataclasses import dataclass
 from typing import List, Optional
@@ -234,8 +235,16 @@ class FFprobe:
                             title,
                         )
                     )
+            # the scrape's regex only matches non-negative '\d+.\d+' starts,
+            # silently dropping e.g. a -0.007 first chapter from a
+            # negative-PTS remux; filter the same way so grouping/snapping
+            # boundaries cannot depend on which prober ran
             chapter_times = sorted(
-                float(chapter["start_time"]) for chapter in probed.get("chapters", [])
+                start
+                for start in (
+                    float(chapter["start_time"]) for chapter in probed.get("chapters", [])
+                )
+                if start >= 0.0
             )
         except (ValueError, KeyError, TypeError):
             return None
@@ -253,9 +262,24 @@ class FFprobe:
 
 
 def probe_media_info(path: str) -> MediaInfo:
-    """Probe a container: ffprobe JSON first, ffmpeg stderr scrape fallback."""
+    """Probe a container: ffprobe JSON first, ffmpeg stderr scrape fallback.
+
+    When ffprobe answers, ffmpeg itself must still exist: the reference
+    fails fast in the probe (its only prober IS ffmpeg, demux.py:20) and
+    every later demux step needs the binary — without this check the
+    "Couldn't invoke ffmpeg" error would surface only after all the slow
+    selection work, from inside demux().
+
+    Deliberate deviation (documented): ffprobe reads the default-track
+    flag from stream dispositions, which keeps working where the
+    reference's stderr regex can no longer see "(default)" in newer
+    ffmpeg banner formats — selection logic is the reference's (first
+    default wins with a warning), only the flag's source is sturdier.
+    """
     info = FFprobe.get_media_info(path)
     if info is not None:
+        if shutil.which("ffmpeg") is None:
+            raise SushiError("Couldn't invoke ffmpeg, check that it's installed")
         return info
     return FFmpeg.get_media_info(path)
 
@@ -398,14 +422,21 @@ class Demuxer:
             FFmpeg.demux_file(self._path, **ffargs)
 
     def cleanup(self) -> None:
-        if self._demux_audio:
-            os.remove(self._audio_output_path)
-        if self._demux_subs:
-            os.remove(self._script_output_path)
-        if self._make_timecodes:
-            os.remove(self._timecodes_output_path)
-        if self._write_chapters:
-            os.remove(self._chapters_output_path)
+        # missing_ok: cleanup runs from run()'s finally, where a demux
+        # failure (e.g. ffmpeg dying mid-run) can leave outputs uncreated;
+        # a FileNotFoundError here would mask the real SushiError
+        for wanted, attr in (
+            (self._demux_audio, "_audio_output_path"),
+            (self._demux_subs, "_script_output_path"),
+            (self._make_timecodes, "_timecodes_output_path"),
+            (self._write_chapters, "_chapters_output_path"),
+        ):
+            target = getattr(self, attr, None)
+            if wanted and target:
+                try:
+                    os.remove(target)
+                except FileNotFoundError:
+                    pass
 
     @classmethod
     def _format_stream(cls, stream) -> str:

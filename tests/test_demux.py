@@ -170,7 +170,8 @@ class TestFFprobeParsing:
 def test_probe_prefers_ffprobe_with_scrape_fallback():
     with mock.patch.object(FFprobe, "get_output", return_value=FFPROBE_JSON_OUTPUT):
         with mock.patch.object(FFmpeg, "get_info") as scrape:
-            info = probe_media_info("ep.mkv")
+            with mock.patch("sushi_tpu.media.demux.shutil.which", return_value="/usr/bin/ffmpeg"):
+                info = probe_media_info("ep.mkv")
     scrape.assert_not_called()
     assert [a.id for a in info.audio] == [1, 2]
 
@@ -265,3 +266,29 @@ class TestDemuxerFacade:
         demuxer.set_audio(stream_idx=1, output_path=str(audio), sample_rate=12000)
         demuxer.cleanup()
         assert not audio.exists()
+
+
+def test_probe_fails_fast_without_ffmpeg():
+    # ffprobe present but ffmpeg missing must raise at probe time (the
+    # reference fails fast in Demuxer.__init__), not later inside demux()
+    with mock.patch.object(FFprobe, "get_output", return_value=FFPROBE_JSON_OUTPUT):
+        with mock.patch("sushi_tpu.media.demux.shutil.which", return_value=None):
+            with pytest.raises(SushiError, match="ffmpeg"):
+                probe_media_info("ep.mkv")
+
+
+def test_cleanup_tolerates_missing_outputs(tmp_path):
+    # cleanup runs from run()'s finally: a demux failure leaves outputs
+    # uncreated, and cleanup must not mask the real error
+    demuxer = _make_demuxer()
+    demuxer.set_audio(stream_idx=1, output_path=str(tmp_path / "never.wav"), sample_rate=12000)
+    demuxer.cleanup()  # must not raise
+
+
+def test_ffprobe_drops_negative_chapter_starts():
+    import json as _json
+
+    probed = _json.loads(FFPROBE_JSON_OUTPUT)
+    probed.setdefault("chapters", []).insert(0, {"start_time": "-0.007000"})
+    info = FFprobe.parse_media_info(_json.dumps(probed))
+    assert all(start >= 0 for start in info.chapters)
