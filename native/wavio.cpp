@@ -20,6 +20,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <limits>
 #include <string>
 #include <vector>
 
@@ -85,6 +86,10 @@ int parse_header(std::FILE* file, WavHeader* header) {
       header->framerate = fmt.framerate;
       header->sample_width = (fmt.bits + 7) / 8;
       if (header->float_samples && header->sample_width != 4) return -4;
+      // widths downmix() cannot decode (e.g. 8-bit PCM) must fail the
+      // probe so the caller falls back to the Python path's loud
+      // "Unsupported sample width" error instead of all-zero audio
+      if (header->sample_width < 2 || header->sample_width > 4) return -4;
       std::fseek(file, static_cast<long>(chunk_size - consumed + (chunk_size % 2)), SEEK_CUR);
       fmt_read = true;
     } else if (std::memcmp(four, "data", 4) == 0) {
@@ -198,6 +203,13 @@ int sushi_wav_load(const char* path, int32_t sample_rate, float* out, int64_t ou
   double seconds_read = 0.0;
   while (seconds_read < total_seconds) {
     const size_t bytes = std::fread(raw.data(), 1, raw.size(), file);
+    // a tail that is not a whole number of samples makes the NumPy path's
+    // frombuffer raise (except 24-bit, which it byte-truncates); error out
+    // so the caller falls back and both paths treat the file identically
+    if (header.sample_width != 3 && bytes % static_cast<size_t>(header.sample_width) != 0) {
+      std::fclose(file);
+      return -6;
+    }
     const int64_t frames = static_cast<int64_t>(bytes) / frame_size;
     if (frames == 0) break;
     downmix(raw.data(), frames, header, mono.data());
@@ -254,7 +266,10 @@ int sushi_wav_prepare(const char* path, int32_t sample_rate, float* buffer, int6
   side.reserve(static_cast<size_t>(buffer_len));
   auto median_of = [&side]() -> float {
     const size_t n = side.size();
-    if (n == 0) return 0.0f;
+    // np.median of an empty subset is NaN; the NaN then poisons the range
+    // check so a stream with no samples on one side of zero fails loudly
+    // exactly like the NumPy path
+    if (n == 0) return std::numeric_limits<float>::quiet_NaN();
     const size_t hi = n / 2;
     std::nth_element(side.begin(), side.begin() + hi, side.end());
     const float upper = side[hi];
@@ -263,18 +278,25 @@ int sushi_wav_prepare(const char* path, int32_t sample_rate, float* buffer, int6
     return (lower + upper) / 2.0f;
   };
 
+  // mirror the NumPy path's precision exactly: float(np.median(...)) * 3
+  // is a DOUBLE, the clip/subtract scalars cast to float32 individually,
+  // and the divisor is float32 of the double difference — computing
+  // 3*median or the range in float32 directly can differ by 1 ulp for
+  // float32/int32-sourced medians and flip boundary uint8 samples
   side.clear();
   for (int64_t i = 0; i < buffer_len; ++i)
     if (buffer[i] >= 0.0f) side.push_back(buffer[i]);
-  const float max_value = median_of() * 3.0f;
+  const double max_d = static_cast<double>(median_of()) * 3.0;
 
   side.clear();
   for (int64_t i = 0; i < buffer_len; ++i)
     if (buffer[i] <= 0.0f) side.push_back(buffer[i]);
-  const float min_value = median_of() * 3.0f;
+  const double min_d = static_cast<double>(median_of()) * 3.0;
 
-  const float range = max_value - min_value;
-  if (!(range > 0.0f)) return -30;
+  if (!(max_d - min_d > 0.0)) return -30;
+  const float max_value = static_cast<float>(max_d);
+  const float min_value = static_cast<float>(min_d);
+  const float range = static_cast<float>(max_d - min_d);
 
   // op-for-op float32 parity with the NumPy path (clip, subtract, divide,
   // *255, +0.5, truncate); the build disables FP contraction so no FMA

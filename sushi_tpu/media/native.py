@@ -30,9 +30,14 @@ _load_failed = False
 
 def _build() -> bool:
     os.makedirs(_CACHE_DIR, exist_ok=True)
+    # compile to a private temp path and rename atomically: concurrent cold
+    # processes (season workers) may build at the same time, and a reader
+    # dlopening a half-written .so would latch _load_failed for its whole
+    # lifetime
+    temp_path = _LIB_PATH + ".%d.tmp" % os.getpid()
     command = [
         "g++", "-O3", "-march=native", "-ffp-contract=off", "-shared", "-fPIC",
-        "-std=c++17", _SOURCE, "-o", _LIB_PATH,
+        "-std=c++17", _SOURCE, "-o", temp_path,
     ]
     try:
         result = subprocess.run(command, capture_output=True, text=True, timeout=120)
@@ -41,6 +46,11 @@ def _build() -> bool:
         return False
     if result.returncode != 0:
         _log.debug("native wavio build failed: %s", result.stderr[:500])
+        return False
+    try:
+        os.replace(temp_path, _LIB_PATH)
+    except OSError as error:
+        _log.debug("native wavio install failed: %s", error)
         return False
     return True
 

@@ -88,13 +88,14 @@ def _try_read(directory: str, key: str) -> Optional[AudioStream]:
         data = np.load(buffer_path, mmap_mode="r")
         now = time.time()
         os.utime(buffer_path, (now, now))  # LRU touch
+        if len(data) != int(meta["buffer_len"]):
+            return None
+        return _from_parts(
+            data, int(meta["sample_rate"]), int(meta["sample_count"]), int(meta["padding_size"]), key
+        )
     except (OSError, ValueError, KeyError):
+        # any malformed entry (missing keys included) is a cache miss
         return None
-    if len(data) != int(meta["buffer_len"]):
-        return None
-    return _from_parts(
-        data, int(meta["sample_rate"]), int(meta["sample_count"]), int(meta["padding_size"]), key
-    )
 
 
 def _write(directory: str, key: str, stream: AudioStream) -> None:

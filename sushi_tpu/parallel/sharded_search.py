@@ -113,6 +113,10 @@ def wide_window_search(
     only its lag chunk; the argmin reduces across chunks with first-lag
     tie-breaking.
     """
+    if len(window) < len(pattern):
+        # all-dummy chunks would otherwise "win" with a garbage lag;
+        # oracle_match raises the same way
+        raise ValueError("window shorter than pattern")
     num_chunks = mesh.shape[axis]
     spans = chunk_wide_window(len(window), len(pattern), num_chunks)
     chunk_len = max(length for _, length in spans)

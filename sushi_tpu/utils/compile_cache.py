@@ -18,8 +18,8 @@ def enable(cache_dir: str | None = None) -> None:
     if _enabled:
         return
     path = cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR") or _DEFAULT_DIR
-    os.makedirs(path, exist_ok=True)
     try:
+        os.makedirs(path, exist_ok=True)
         import jax
 
         jax.config.update("jax_compilation_cache_dir", path)

@@ -29,7 +29,9 @@ def ensure_accelerator() -> str:
         platform = jax.devices()[0].platform
     except RuntimeError as error:
         _log.warning("accelerator init failed (%s); falling back to CPU", error)
-        os.environ["JAX_PLATFORMS"] = "cpu"
+        # jax reads JAX_PLATFORMS from the env only at import time; after
+        # import the config flag is the live switch
+        jax.config.update("jax_platforms", "cpu")
         platform = jax.devices()[0].platform
     if platform == "cpu":
         _log.warning("running on CPU — no TPU backend came up")
