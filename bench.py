@@ -385,11 +385,49 @@ def check_output_correctness():
     return worst
 
 
+def wait_for_chip(max_wait_seconds=1200):
+    """Bounded wait for a reachable accelerator.
+
+    The tunneled relay this host uses has transient outages during which a
+    jax op neither completes nor errors — it blocks forever.  Probing in a
+    killable subprocess turns that silent hang into a bounded retry loop,
+    giving the relay time to recover before the measurements start."""
+    import subprocess
+
+    probe = (
+        "import jax, jax.numpy as jnp, numpy as np;"
+        "np.asarray(jax.jit(lambda v: v + 1)(jnp.zeros(2)));"
+        "print(jax.devices()[0].platform)"
+    )
+    deadline = time.time() + max_wait_seconds
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            result = subprocess.run(
+                [sys.executable, "-c", probe], capture_output=True, text=True, timeout=150
+            )
+            if result.returncode == 0:
+                platform = result.stdout.strip().splitlines()[-1]
+                if attempt > 1:
+                    log("bench: chip probe recovered on attempt %d" % attempt)
+                return platform
+            reason = (result.stderr or "").strip().splitlines()[-1:] or ["exit %d" % result.returncode]
+            log("bench: chip probe failed (%s)" % reason[0][:120])
+        except subprocess.TimeoutExpired:
+            log("bench: chip probe hung >150s (relay outage?)")
+        if time.time() >= deadline:
+            log("bench: chip still unreachable after %ds; proceeding anyway" % max_wait_seconds)
+            return None
+        time.sleep(30)
+
+
 def main():
     import logging
 
     logging.getLogger().setLevel(logging.ERROR)  # keep stderr usable
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    wait_for_chip()
     from sushi_tpu.utils.device import ensure_accelerator
 
     platform = ensure_accelerator()
