@@ -40,7 +40,18 @@ def build_fixture():
     src_wav = os.path.join(BENCH_DIR, "src.wav")
     dst_wav = os.path.join(BENCH_DIR, "dst.wav")
     script = os.path.join(BENCH_DIR, "in.srt")
-    if all(os.path.exists(p) for p in (src_wav, dst_wav, script)):
+    # stale-fixture guard: regenerate when the generator constants change,
+    # not merely when the files are missing
+    manifest_path = os.path.join(BENCH_DIR, "fixture.json")
+    manifest = {"episode_seconds": EPISODE_SECONDS, "events": EVENT_COUNT, "shift": TRUE_SHIFT}
+    try:
+        with open(manifest_path, encoding="utf-8") as handle:
+            cached_manifest = json.load(handle)
+    except (OSError, ValueError):
+        cached_manifest = None
+    if cached_manifest == manifest and all(
+        os.path.exists(p) for p in (src_wav, dst_wav, script)
+    ):
         return src_wav, dst_wav, script
 
     log("bench: generating 24-min fixture episode...")
@@ -61,6 +72,8 @@ def build_fixture():
     write_wav_int16(src_wav, audio)
     write_wav_int16(dst_wav, dst_audio)
     write_srt(script, [(s, e, "line %d" % i) for i, (s, e) in enumerate(events)])
+    with open(manifest_path, "w", encoding="utf-8") as handle:
+        json.dump(manifest, handle)
     log("bench: fixture built in %.1fs" % (time.time() - started))
     return src_wav, dst_wav, script
 
@@ -308,7 +321,13 @@ def measure_baseline(src_wav, dst_wav, script):
     """Reference engine: sequential cv2.matchTemplate through the same
     state machine and heuristics.  Measured fresh on every bench run so
     both engines see the same machine state (this host's throughput
-    drifts considerably over hours)."""
+    drifts considerably over hours).
+
+    Returns (cold_seconds, warm_seconds).  The cold pass pays fresh WAV
+    ingest like a first-ever sync; the warm pass reuses the already-loaded
+    streams, matching what the TPU side's warm number pays (its stream
+    cache makes repeat loads ~free) — comparing our warm run against a
+    baseline that re-ingests every time would inflate the headline ratio."""
     import cv2
     import numpy as np
 
@@ -355,22 +374,35 @@ def measure_baseline(src_wav, dst_wav, script):
     for event in doc.events:
         event.apply_shift()
     doc.save_to_file(os.path.join(BENCH_DIR, "out.cv2.srt"))
-    seconds = time.time() - t0
+    cold = time.time() - t0
 
-    # best-of-2 (loads + search), matching how the TPU side reports its
-    # warm second run
+    # warm pass: same full per-sync work (script parse, grouping, search,
+    # shift apply, save) minus the ingest both engines memoize
     t0 = time.time()
-    AudioStream(src_wav, 12000, "uint8")
-    AudioStream(dst_wav, 12000, "uint8")
-    machine.run_search(spans, dst_stream.duration_seconds, dst_stream.sample_rate, cv2_find, 10, 30, 5)
-    seconds = min(seconds, time.time() - t0)
+    doc2 = SrtScript.from_file(script)
+    doc2.sort_by_time()
+    groups2 = prepare_search_groups(
+        doc2.events,
+        source_duration=src_stream.duration_seconds,
+        chapter_times=[],
+        max_ts_duration=_Args.max_ts_duration,
+        max_ts_distance=_Args.max_ts_distance,
+    )
+    results2 = machine.run_search(
+        spans, dst_stream.duration_seconds, dst_stream.sample_rate, cv2_find, 10, 30, 5
+    )
+    machine.apply_group_results(groups2, results2)
+    for event in doc2.events:
+        event.apply_shift()
+    doc2.save_to_file(os.path.join(BENCH_DIR, "out.cv2.srt"))
+    warm = time.time() - t0
 
     shifts = [r.shift for r in results if r.shift is not None]
     log(
-        "bench: baseline %.2fs (%d matchTemplate calls, median shift %.4f)"
-        % (seconds, calls[0], float(np.median(shifts)))
+        "bench: baseline cold %.2fs / warm %.2fs (%d matchTemplate calls, median shift %.4f)"
+        % (cold, warm, calls[0], float(np.median(shifts)))
     )
-    return seconds
+    return cold, warm
 
 
 def check_output_correctness():
@@ -442,16 +474,17 @@ def main():
     search_seconds, telemetry = measure_stages(src_wav, dst_wav, script)
     season_seconds = measure_season(src_wav, dst_wav, script, episodes=12)
     regression_passed, regression_seconds = run_regression()
-    baseline = measure_baseline(src_wav, dst_wav, script)
+    baseline_cold, baseline_warm = measure_baseline(src_wav, dst_wav, script)
 
     result = {
         "metric": "24min episode sync wall-clock (350 events, lower is better; "
-        "vs_baseline = cv2-sequential speedup)",
+        "vs_baseline = warm cv2-sequential speedup, ingest memoized on both sides)",
         "value": round(ours, 3),
         "unit": "s",
-        "vs_baseline": round(baseline / ours, 2),
+        "vs_baseline": round(baseline_warm / ours, 2),
         "events_per_second": round(EVENT_COUNT / ours, 1),
-        "baseline_seconds": round(baseline, 3),
+        "baseline_seconds": round(baseline_warm, 3),
+        "baseline_cold_ingest_seconds": round(baseline_cold, 3),
         "worst_line_error_seconds": round(worst, 4),
         "search_stage_seconds": round(search_seconds, 3),
         "season_12_episodes_seconds": round(season_seconds, 3),

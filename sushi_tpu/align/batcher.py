@@ -762,6 +762,7 @@ class SearchSession:
         self.groups_events = groups_events
         self.spans = groups_to_spans(groups_events, src_stream)
         self._dst = dst_stream
+        self._src_rate = src_stream.sample_rate
         self._params = (normal_window, max_window, rewind_thresh)
         self._predictor = ReplayPredictor(self.spans, dst_stream, PatternTable(self.spans), delta0)
         self._memo: Dict[SearchRequest, Tuple[float, float, int]] = {}
@@ -784,6 +785,7 @@ class SearchSession:
             self._dst.sample_rate,
             find,
             *self._params,
+            src_sample_rate=self._src_rate,
         )
         return results, list(pending)
 

@@ -84,19 +84,29 @@ def run_search(
     normal_window: float,
     max_window: float,
     rewind_thresh: int,
+    src_sample_rate: Optional[int] = None,
 ) -> List[GroupResult]:
-    """Run the commit/rewind search over all groups; returns per-group results."""
+    """Run the commit/rewind search over all groups; returns per-group results.
+
+    ``src_sample_rate`` converts the left-half pattern's SOURCE-buffer
+    sample count into the right-half probe's time offset (the reference
+    divides by ``src_stream.sample_rate``, sushi.py:446); it defaults to
+    ``sample_rate`` since every current caller analyzes both streams at
+    one rate, but the distinction matters if the rates ever diverge.
+    """
 
     committed: List[GroupResult] = []
     uncommitted: List[GroupResult] = []
     window = normal_window
     idx = 0
+    if src_sample_rate is None:
+        src_sample_rate = sample_rate
 
     def verified_probe(group: GroupSpan, original_time: float, offset: float) -> Tuple[float, float, bool]:
         """Full + left-half + right-half search at ``offset``; returns
         (diff, new_time, terminate)."""
         left_len = group.pat_len // 2
-        right_offset = left_len / float(sample_rate)
+        right_offset = left_len / float(src_sample_rate)
         diff, new_time = find(SearchRequest(idx, FULL, original_time + offset, window))
         left_time = find(SearchRequest(idx, LEFT, original_time + offset, window))[1]
         right_time = (

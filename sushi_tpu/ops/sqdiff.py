@@ -47,7 +47,9 @@ _LANES = 128  # TPU vector lane count; batch/shape padding granularity
 
 
 def oracle_sqdiff_normed(pattern: np.ndarray, window: np.ndarray) -> np.ndarray:
-    """Direct O(lags * |T|) normalized SSD in float64, cv2 conventions."""
+    """Normalized SSD in float64, cv2 conventions: direct correlation for
+    small inputs, a float64 np.fft cross-correlation beyond (dependency-free
+    — most realistic sizes take the FFT branch)."""
     pattern = np.asarray(pattern, np.float64)
     window = np.asarray(window, np.float64)
     lp, lw = len(pattern), len(window)
@@ -57,9 +59,9 @@ def oracle_sqdiff_normed(pattern: np.ndarray, window: np.ndarray) -> np.ndarray:
     if lp * (lw - lp + 1) <= 1 << 22:
         corr = np.correlate(window, pattern, mode="valid")
     else:
-        from scipy.signal import fftconvolve
-
-        corr = fftconvolve(window, pattern[::-1], mode="valid")
+        n = 1 << int(lw + lp - 2).bit_length()
+        spectrum = np.fft.rfft(window, n) * np.conj(np.fft.rfft(pattern, n))
+        corr = np.fft.irfft(spectrum, n)[: lw - lp + 1]
     cumsq = np.concatenate([[0.0], np.cumsum(window * window)])
     energy = cumsq[lp:] - cumsq[: lw - lp + 1]
     num = pat_energy - 2.0 * corr + energy

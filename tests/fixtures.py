@@ -47,11 +47,14 @@ def _write_riff(
         "<HHLLHH", format_tag, channels, framerate, byte_rate, block_align, sample_width * 8
     )
     data_size = len(payload)
-    riff_size = 4 + (8 + len(fmt)) + (8 + data_size)
+    # RIFF chunks are word-aligned: an odd-sized data chunk (24-bit mono
+    # with an odd frame count) carries a pad byte not counted in data_size
+    pad = b"\x00" if data_size % 2 else b""
+    riff_size = 4 + (8 + len(fmt)) + (8 + data_size + len(pad))
     with open(path, "wb") as handle:
         handle.write(b"RIFF" + struct.pack("<I", riff_size) + b"WAVE")
         handle.write(b"fmt " + struct.pack("<I", len(fmt)) + fmt)
-        handle.write(b"data" + struct.pack("<I", data_size) + payload)
+        handle.write(b"data" + struct.pack("<I", data_size) + payload + pad)
 
 
 def synth_episode(

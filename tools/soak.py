@@ -41,23 +41,32 @@ def random_fixture(rng, tmp):
     shift = float(rng.uniform(-3.0, 6.0))
     audio = synth_episode(duration, events, seed=rng.randint(1 << 30))
     dst_audio = shift_audio(audio, shift)
+    # symmetric zero-mean noise at a randomized level
+    noise_amp = int(rng.uniform(50, 400))
     dst_audio = (
-        dst_audio.astype(np.int32) + rng.randint(-int(rng.uniform(50, 400)), 400, len(dst_audio))
+        dst_audio.astype(np.int32) + rng.randint(-noise_amp, noise_amp + 1, len(dst_audio))
     ).astype(np.int16)
 
+    # scenarios that cannot apply (too few events) relabel honestly so the
+    # log never claims coverage that didn't run
     scenario = rng.choice(["plain", "corrupt", "truncated", "jump"])
-    if scenario == "corrupt" and len(events) > 3:
-        a, b = events[1][0], events[min(3, len(events) - 1)][1]
-        lo = max(0, int((a + shift) * 48000))
-        hi = min(len(dst_audio), int((b + shift) * 48000))
-        dst_audio[lo:hi] = rng.randint(-9000, 9000, hi - lo)
+    if scenario == "corrupt":
+        if len(events) > 3:
+            a, b = events[1][0], events[min(3, len(events) - 1)][1]
+            lo = max(0, int((a + shift) * 48000))
+            hi = min(len(dst_audio), int((b + shift) * 48000))
+            dst_audio[lo:hi] = rng.randint(-9000, 9000, hi - lo)
+        else:
+            scenario = "plain"
     elif scenario == "truncated":
         dst_audio = dst_audio[: int(len(dst_audio) * rng.uniform(0.4, 0.8))]
-    elif scenario == "jump" and len(events) > 4:
+    elif scenario == "jump":
         cut = int((events[len(events) // 2][0] - 1.0 + shift) * 48000)
-        if 0 < cut < len(dst_audio):
+        if len(events) > 4 and 0 < cut < len(dst_audio):
             gap = rng.randint(-300, 300, int(rng.uniform(11, 16) * 48000)).astype(np.int16)
             dst_audio = np.concatenate([dst_audio[:cut], gap, dst_audio[cut:]])
+        else:
+            scenario = "plain"
 
     src_path = os.path.join(tmp, "src.wav")
     dst_path = os.path.join(tmp, "dst.wav")
@@ -116,7 +125,17 @@ def run_iteration(rng, index):
             if (bat.shift is None) != (orc.shift is None):
                 mismatches.append((g, bat.shift, orc.shift, "fail-state"))
             elif bat.shift is not None and abs(bat.shift - orc.shift) > 1.5 / 12000.0:
-                if abs((bat.diff or 0) - (orc.diff or 0)) > 1e-5:
+                # equal-quality tie waiver: score agreement alone is not
+                # enough — flushed (broken-range) groups inherit the
+                # terminating search's diff, so two engines diverging in a
+                # flushed range could carry near-equal scores with wildly
+                # different shifts.  Only waive when the scores tie AND the
+                # picks are either both poor matches (plateau/garbage, where
+                # the oracle's own pick is arbitrary) or nearby
+                score_tie = abs((bat.diff or 0) - (orc.diff or 0)) <= 1e-5
+                both_poor = (bat.diff or 0) >= 0.2 and (orc.diff or 0) >= 0.2
+                nearby = abs(bat.shift - orc.shift) <= 0.05
+                if not (score_tie and (both_poor or nearby)):
                     mismatches.append((g, bat.shift, orc.shift, "value"))
 
         status = "OK" if not mismatches else "MISMATCH"
