@@ -183,3 +183,21 @@ def test_alternate_sample_rate_end_to_end(media):
     result = SrtScript.from_file(out)
     for event, (start, _, _) in zip(result.events, EVENTS):
         assert event.start == pytest.approx(start + TRUE_SHIFT, abs=2e-3)
+
+
+def test_shift_plot_written(media, tmp_path):
+    # --test-shift-plot (SUPPRESS'd, reference sushi.py:767): the 3-stage
+    # debug plot must be written when matplotlib is available
+    pytest.importorskip("matplotlib")
+    tmp, src_wav, dst_wav = media
+    script = str(tmp / "in5.srt")
+    out = str(tmp / "out5.srt")
+    plot = str(tmp_path / "shifts.png")
+    write_srt(script, EVENTS)
+    run_cli([
+        "--src", src_wav, "--dst", dst_wav, "--script", script, "-o", out,
+        "--test-shift-plot", plot,
+    ])
+    import os as _os
+
+    assert _os.path.exists(plot) and _os.path.getsize(plot) > 0
