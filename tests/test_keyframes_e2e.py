@@ -87,3 +87,29 @@ def test_kf_mode_shift_only_does_not_snap_edges(media):
     # keyframes, but per-edge snapping is off: durations stay unchanged
     for event, (start, end) in zip(result.events, EVENTS):
         assert (event.end - event.start) == pytest.approx(end - start, abs=2e-3)
+
+
+def test_v2_timecodes_match_cfr_run(media, tmp_path):
+    # a uniform 24fps v2 timecodes file must reproduce the --fps run
+    # byte-for-byte: exercises the v2 parse + timecode-driven frame math
+    # end-to-end (reference demux.py:135-207)
+    tc_path = str(tmp_path / "tc.v2.txt")
+    with open(tc_path, "w", encoding="utf-8") as handle:
+        handle.write("# timecode format v2\n")
+        for frame in range(int(25 * FPS) + 1):
+            handle.write("%.6f\n" % (frame * 1000.0 / FPS))
+
+    base_args = [
+        "--src", str(media / "src.wav"),
+        "--dst", str(media / "dst.wav"),
+        "--script", str(media / "in.srt"),
+        "--src-keyframes", str(media / "src.kf.txt"),
+        "--dst-keyframes", str(media / "dst.kf.txt"),
+    ]
+    out_fps = str(tmp_path / "out_fps.srt")
+    run_cli(base_args + ["-o", out_fps, "--src-fps", str(FPS), "--dst-fps", str(FPS)])
+    out_v2 = str(tmp_path / "out_v2.srt")
+    run_cli(base_args + ["-o", out_v2, "--src-timecodes", tc_path, "--dst-timecodes", tc_path])
+
+    with open(out_fps, "rb") as a, open(out_v2, "rb") as b:
+        assert a.read() == b.read()
