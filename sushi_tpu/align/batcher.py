@@ -23,9 +23,18 @@ at least the first miss; in practice a clean episode converges in ONE
 device round, with extra rounds only for per-group jitter, shift changes,
 or rewind escalation.
 
-Requests are bucketed by FFT size (next power of two covering the window)
-and padded to a few batch-size buckets so the jitted kernel compiles a
-small, reusable set of shapes.
+One caveat to "identical": among *bit-equal score ties* (reachable in
+corrupted/garbage regions, where two distant lags can score exactly
+equal) the winning lag depends on which candidates the coarse pass
+nominates, and coarse FFT rounding legitimately differs between compiled
+batch shapes — so a tie-break, which is not a decision, may fall either
+way between a batched and a one-request-at-a-time drive of the same
+kernel.  Everything with distinguishable scores is exact (enforced by
+tools/soak.py).
+
+Requests are bucketed by FFT size (powers of two and 3*2^k covering the
+window) and padded to a few batch-size buckets so the jitted kernel
+compiles a small, reusable set of shapes.
 """
 
 from __future__ import annotations
