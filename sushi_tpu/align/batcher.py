@@ -192,7 +192,22 @@ def _extend_with_zeros(data, total: int):
 _UPLOAD_MEMO: Dict[str, object] = {}
 # 32 quantized streams ≈ 1 GB HBM — small next to a 16 GB chip, and enough
 # to keep a whole 12-episode season resident between batch runs
-_UPLOAD_MEMO_MAX = int(os.environ.get("SUSHI_UPLOAD_MEMO", "32"))
+
+
+def _env_int(name: str, default: int) -> int:
+    """Integer env tunable; a malformed value warns and keeps the default
+    instead of raising at import time and killing every entry point."""
+    raw = os.environ.get(name)
+    if raw is None:
+        return default
+    try:
+        return int(raw)
+    except ValueError:
+        _log.warning("ignoring malformed %s=%r (want an integer)", name, raw)
+        return default
+
+
+_UPLOAD_MEMO_MAX = _env_int("SUSHI_UPLOAD_MEMO", 32)
 
 # {(src cache_key, dst cache_key): whole-stream alignment estimate}
 _DELTA0_MEMO: Dict[Tuple[str, str], int] = {}

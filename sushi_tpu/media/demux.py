@@ -216,7 +216,9 @@ class FFprobe:
                         stream.get("profile"),
                         stream.get("sample_rate") and "%s Hz" % stream["sample_rate"],
                         stream.get("channel_layout"),
-                        stream.get("width") and "%sx%s" % (stream["width"], stream.get("height")),
+                        stream.get("width")
+                        and stream.get("height")
+                        and "%sx%s" % (stream["width"], stream["height"]),
                     )
                     if part
                 )

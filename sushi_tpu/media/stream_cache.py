@@ -172,9 +172,13 @@ def store_alignment_seed(src_key: str, dst_key: str, delta0: int) -> None:
     try:
         os.makedirs(directory, exist_ok=True)
         path = _seed_path(directory, src_key, dst_key)
-        with open(path + ".tmp", "w", encoding="utf-8") as handle:
+        # unique tmp name (mkstemp) like _write: concurrent processes
+        # storing the same pair must not interleave writes into one shared
+        # ".tmp" file and publish corrupt JSON
+        fd, tmp = tempfile.mkstemp(dir=directory, suffix=".tmp")
+        with os.fdopen(fd, "w", encoding="utf-8") as handle:
             json.dump({"delta0": int(delta0)}, handle)
-        os.replace(path + ".tmp", path)
+        os.replace(tmp, path)
     except OSError as error:
         _log.debug("alignment seed write failed: %s", error)
 

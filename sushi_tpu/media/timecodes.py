@@ -34,6 +34,14 @@ class Timecodes:
             return number * self.default_frame_duration
 
     def get_frame_number(self, timestamp: float) -> int:
+        # DELIBERATE bug-for-bug parity (reference demux.py:152-155): for a
+        # timestamp past the last explicit time of a v1 file, the reference
+        # subtracts sum(self.times) — the SUM of all frame times, almost
+        # certainly meant to be self.times[-1] plus a len() offset — which
+        # yields a large negative frame number.  v1 conversions always cover
+        # the override ranges, so this only triggers past the final
+        # override; replicated (and pinned by a test) so kf-snapping
+        # decisions cannot silently diverge from the reference's.
         if (not self.times or self.times[-1] < timestamp) and self.default_frame_duration:
             return int((timestamp - sum(self.times)) / self.default_frame_duration)
         return bisect.bisect_left(self.times, timestamp)

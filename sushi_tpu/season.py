@@ -27,10 +27,11 @@ import json
 import logging
 import os
 import sys
+import threading
 import time
 from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
 from dataclasses import dataclass
-from typing import List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 from sushi_tpu.align import heuristics
 from sushi_tpu.align.batcher import DeviceMatcher, SearchSession, execute_planned_multi
@@ -90,8 +91,37 @@ def load_jobs(path: str) -> List[SeasonJob]:
     return jobs
 
 
+class _DemuxRegistry:
+    """Dedupes container demuxes by output path across ingest threads.
+
+    Two jobs referencing the same container (e.g. one destination video
+    shared by every episode's signs track) resolve to the same demuxed WAV
+    path; without coordination both ingest threads would run ffmpeg onto
+    that path simultaneously and could corrupt it.  The first claimant
+    demuxes; later claimants wait for it to finish and reuse the file.
+    """
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self._events: Dict[str, threading.Event] = {}
+
+    def claim(self, output_path: str) -> Tuple[threading.Event, bool]:
+        """(completion event, True iff the caller owns the demux)."""
+        with self._lock:
+            event = self._events.get(output_path)
+            if event is None:
+                event = threading.Event()
+                self._events[output_path] = event
+                return event, True
+            return event, False
+
+
 def _resolve_audio(
-    path: str, stream_idx: Optional[int], sample_rate: int, temp_dir: Optional[str]
+    path: str,
+    stream_idx: Optional[int],
+    sample_rate: int,
+    temp_dir: Optional[str],
+    registry: Optional[_DemuxRegistry] = None,
 ) -> Tuple[str, Optional[Demuxer]]:
     """WAV passthrough, or ffmpeg demux of a container's audio track.
 
@@ -119,7 +149,17 @@ def _resolve_audio(
     else:
         audio_path = format_full_path(temp_dir, path, ".sushi.wav")
     demuxer.set_audio(stream_idx=stream_idx, output_path=audio_path, sample_rate=sample_rate)
-    demuxer.demux()
+    if registry is None:
+        demuxer.demux()
+    else:
+        event, owner = registry.claim(audio_path)
+        if owner:
+            try:
+                demuxer.demux()
+            finally:
+                event.set()
+        else:
+            event.wait()
     if not os.path.exists(audio_path):
         raise SushiError("demuxing {0} produced no audio at {1}".format(path, audio_path))
     return audio_path, demuxer
@@ -136,14 +176,19 @@ def _prepare_episode(
     max_ts_duration: float,
     max_ts_distance: float,
     temp_dir: Optional[str],
+    registry: Optional[_DemuxRegistry] = None,
 ) -> _Episode:
     """Demux + ingest + seed one episode (runs on an ingest thread)."""
     started = time.time()
     demuxers = []
-    src_audio, src_demuxer = _resolve_audio(job.src, job.src_audio_idx, sample_rate, temp_dir)
+    src_audio, src_demuxer = _resolve_audio(
+        job.src, job.src_audio_idx, sample_rate, temp_dir, registry
+    )
     if src_demuxer is not None:
         demuxers.append(src_demuxer)
-    dst_audio, dst_demuxer = _resolve_audio(job.dst, job.dst_audio_idx, sample_rate, temp_dir)
+    dst_audio, dst_demuxer = _resolve_audio(
+        job.dst, job.dst_audio_idx, sample_rate, temp_dir, registry
+    )
     if dst_demuxer is not None:
         demuxers.append(dst_demuxer)
 
@@ -222,7 +267,12 @@ def sync_season(
     temp_dir: Optional[str] = None,
     cleanup: bool = False,
     max_rounds: int = 10000,
-) -> None:
+) -> List[Tuple[SeasonJob, str]]:
+    """Sync every job; returns [(job, error message)] for jobs that failed.
+
+    One bad episode (unreadable container, broken WAV, unwritable output)
+    is logged and skipped — the rest of the season still syncs.
+    """
     enable_compile_cache()
 
     for job in jobs:
@@ -234,8 +284,10 @@ def sync_season(
 
     started = time.time()
     all_demuxers: List[Demuxer] = []
+    registry = _DemuxRegistry()
     rounds = 0
     synced = 0
+    failures: List[Tuple[SeasonJob, str]] = []
     with ThreadPoolExecutor(max_workers=max(1, io_threads)) as pool:
         pending = {
             pool.submit(
@@ -250,7 +302,8 @@ def sync_season(
                 max_ts_duration,
                 max_ts_distance,
                 temp_dir,
-            )
+                registry,
+            ): job
             for index, job in enumerate(jobs)
         }
         active: List[_Episode] = []
@@ -259,11 +312,17 @@ def sync_season(
                 # harvest ready episodes; block only when the device would
                 # otherwise sit idle
                 if pending:
-                    done, pending = wait(
+                    done, still_pending = wait(
                         pending, timeout=0 if active else None, return_when=FIRST_COMPLETED
                     )
                     for future in done:
-                        episode = future.result()
+                        job = pending[future]
+                        try:
+                            episode = future.result()
+                        except Exception as error:  # one bad episode must not sink the season
+                            _log.error("season: episode %s failed to ingest: %s", job.src, error)
+                            failures.append((job, str(error)))
+                            continue
                         all_demuxers.extend(episode.demuxers)
                         _log.info(
                             "season: episode %d ready (ingest %.2fs), joining the batch pool",
@@ -271,6 +330,7 @@ def sync_season(
                             episode.prepared_seconds,
                         )
                         active.append(episode)
+                    pending = {f: j for f, j in pending.items() if f in still_pending}
                 if not active:
                     continue
 
@@ -279,9 +339,16 @@ def sync_season(
                 for episode in list(active):
                     requests = episode.session.replay()
                     if not requests:
-                        _finish_episode(episode, smooth_radius)
+                        try:
+                            _finish_episode(episode, smooth_radius)
+                            synced += 1
+                        except Exception as error:
+                            _log.error(
+                                "season: episode %s failed to finalize: %s",
+                                episode.job.src, error,
+                            )
+                            failures.append((episode.job, str(error)))
                         active.remove(episode)
-                        synced += 1
                         continue
                     items.extend(
                         (episode.matcher.pair, episode.matcher.plan((episode.index, request), request))
@@ -311,6 +378,9 @@ def sync_season(
         time.time() - started,
         rounds,
     )
+    for job, message in failures:
+        _log.warning("season: FAILED %s: %s", job.src, message)
+    return failures
 
 
 def main(argv: Optional[List[str]] = None) -> None:
@@ -332,7 +402,7 @@ def main(argv: Optional[List[str]] = None) -> None:
 
     logging.basicConfig(level=logging.DEBUG if args.verbose else logging.INFO, format="%(message)s")
     try:
-        sync_season(
+        failures = sync_season(
             load_jobs(args.jobs),
             sample_rate=args.sample_rate,
             sample_type=args.sample_type,
@@ -344,6 +414,8 @@ def main(argv: Optional[List[str]] = None) -> None:
             temp_dir=args.temp_dir,
             cleanup=args.cleanup,
         )
+        if failures:
+            sys.exit(2)
     except SushiError as error:
         logging.critical("%s", error)
         sys.exit(2)

@@ -370,3 +370,52 @@ def test_upload_memo_eviction_thread_safe(monkeypatch):
         for future in [pool.submit(hammer, w) for w in range(8)]:
             future.result()  # raises if any eviction raced
     assert len(batcher._UPLOAD_MEMO) <= 4
+
+
+def test_exact_tie_plateau_first_lag_through_batched_driver():
+    """VERDICT r2 #7: an exact-tie plateau wider than rescore_k*128 lags,
+    driven through the production batched path (execute_planned: bucketed
+    fft, padded batch rows, packed fetch) — the winning lag must be cv2's
+    FIRST minimal lag, not an arbitrary plateau block's winner."""
+    import cv2
+    import jax.numpy as jnp
+
+    from sushi_tpu.align.batcher import PlannedSearch, execute_planned
+
+    rng = np.random.RandomState(11)
+    pat_len, win_len = 512, 8000
+    plateau_start = 2000
+    dst = np.zeros(32768, np.float32)
+    dst[:plateau_start] = np.where(np.arange(plateau_start) % 2 == 0, 0.1, 0.9)
+    dst[plateau_start:12000] = 0.5
+    src = np.zeros(16384, np.float32)
+    src[:pat_len] = 0.5
+
+    planned = [
+        PlannedSearch(key="plateau", pat_start=0, pat_len=pat_len, win_start=0,
+                      win_len=win_len, start_time=0.0, sample_rate=12000)
+    ]
+    # filler rows with unrelated content so the chunk really is a padded
+    # mixed batch (batch bucket 8), not a single-row special case
+    src[1000:1600] = rng.rand(600).astype(np.float32)
+    for i in range(5):
+        planned.append(
+            PlannedSearch(key=f"filler{i}", pat_start=1000 + i * 7, pat_len=400,
+                          win_start=8000 + i * 13, win_len=6000,
+                          start_time=0.0, sample_rate=12000)
+        )
+    dst[12000:24000] = rng.rand(12000).astype(np.float32)
+
+    results = execute_planned(jnp.asarray(src), jnp.asarray(dst), planned)
+
+    scores = cv2.matchTemplate(
+        dst[:win_len].reshape(1, -1), src[:pat_len].reshape(1, -1), cv2.TM_SQDIFF_NORMED
+    )[0]
+    c_lag = int(scores.argmin())
+    assert c_lag == plateau_start  # fixture sanity: cv2's first minimum
+    plateau_width = (win_len - pat_len + 1) - plateau_start
+    assert plateau_width > 16 * 128  # wider than every blockwise candidate
+
+    score, found_time, abs_sample = results["plateau"]
+    assert abs_sample == c_lag
+    assert score == pytest.approx(float(scores[c_lag]), abs=1e-5)

@@ -99,6 +99,7 @@ def fake_ffmpeg(tmp_path, monkeypatch):
         "  printf '    Stream #0:1: Audio: pcm_s16le (default)\\n' >&2\n"
         "  exit 1\n"
         "fi\n"
+        'printf "demux %s\\n" "$input" >> "' + str(bindir) + '/demux.log"\n'
         'cp "${input%.mkv}.hidden.wav" "$out"\n'
     )
     stub.chmod(0o755)
@@ -136,6 +137,58 @@ def test_season_demuxes_containers(tmp_path, fake_ffmpeg):
     # demuxed audio landed in the temp dir and is kept without --cleanup
     demuxed = [n for n in os.listdir(temp_dir) if n.endswith(".sushi.wav")]
     assert len(demuxed) == len(shifts)
+
+
+def test_season_shared_container_demuxes_once(tmp_path, fake_ffmpeg):
+    """Two jobs sharing one destination container (e.g. a movie synced
+    against two script revisions) must demux it exactly once — concurrent
+    ffmpeg runs onto the same output path could corrupt the WAV."""
+    import os
+
+    shift = 2.0
+    audio = synth_episode(16.0, EVENTS, seed=95)
+    dst_audio = shift_audio(audio, shift)
+    container = str(tmp_path / "movie.mkv")
+    with open(container, "w") as handle:
+        handle.write("not really matroska")
+    write_wav_int16(container[: -len(".mkv")] + ".hidden.wav", dst_audio)
+    src = str(tmp_path / "movie.src.wav")
+    write_wav_int16(src, audio)
+    jobs = []
+    for i in range(2):
+        script = str(tmp_path / f"rev{i}.srt")
+        write_srt(script, [(s, e, f"rev{i} line") for s, e in EVENTS])
+        jobs.append(SeasonJob(src, container, script, str(tmp_path / f"rev{i}.out.srt")))
+
+    temp_dir = str(tmp_path / "work")
+    failures = sync_season(jobs, temp_dir=temp_dir, io_threads=2)
+    assert failures == []
+
+    for job in jobs:
+        result = SrtScript.from_file(job.output)
+        for event, (start, _) in zip(result.events, EVENTS):
+            assert event.start == pytest.approx(start + shift, abs=2e-3), job.output
+    log_path = fake_ffmpeg / "demux.log"
+    demux_calls = [line for line in log_path.read_text().splitlines() if container in line]
+    assert len(demux_calls) == 1, demux_calls
+
+
+def test_season_survives_one_broken_episode(season, tmp_path):
+    """A corrupt source WAV fails its own episode only; the rest of the
+    season syncs and the failure is reported in the return value."""
+    tmp, jobs = season
+    broken_src = tmp_path / "broken.src.wav"
+    broken_src.write_bytes(b"RIFFgarbage-not-a-wav")
+    bad = SeasonJob(str(broken_src), jobs[0].dst, jobs[0].script, str(tmp_path / "bad.out.srt"))
+    good = SeasonJob(jobs[1].src, jobs[1].dst, jobs[1].script, str(tmp_path / "good.out.srt"))
+
+    failures = sync_season([bad, good], io_threads=2)
+
+    assert len(failures) == 1 and failures[0][0] is bad
+    result = SrtScript.from_file(good.output)
+    for event, (start, _) in zip(result.events, EVENTS):
+        assert event.start == pytest.approx(start + SHIFTS[1], abs=2e-3)
+    assert not (tmp_path / "bad.out.srt").exists()
 
 
 def test_season_same_basename_containers_do_not_collide(tmp_path, fake_ffmpeg):

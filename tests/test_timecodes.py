@@ -66,3 +66,20 @@ class TestV1:
 def test_unknown_format_raises():
     with pytest.raises(SushiError):
         Timecodes.parse("# timecode format v3\n123")
+
+
+def test_frame_number_past_end_replicates_reference_oddity():
+    """Bug-for-bug parity pin (reference demux.py:152-155): past the last
+    explicit v1 time with a default fps, the reference computes
+    int((timestamp - sum(times)) / frame_duration) — sum of ALL frame
+    times, not times[-1] — producing a large negative frame number.  We
+    deliberately replicate it (see timecodes.py get_frame_number); this
+    test freezes that choice so any change is a conscious one."""
+    tc = Timecodes([0.0, 0.5, 1.0], default_fps=10.0)
+    expected = int((100.0 - sum([0.0, 0.5, 1.0])) / 0.1)
+    assert tc.get_frame_number(100.0) == expected == 985
+
+    # in-range queries are unaffected: plain bisect
+    assert tc.get_frame_number(0.5) == 1
+    # without a default fps the past-the-end path cannot trigger
+    assert Timecodes([0.0, 0.5, 1.0], None).get_frame_number(100.0) == 3
