@@ -131,6 +131,23 @@ def measure_ours(src_wav, dst_wav, script):
     return warm
 
 
+class _RecordingMatcher:
+    """DeviceMatcher proxy that records every executed request, so the
+    bench can replay the episode's real device rounds for amortized
+    device-execute timing."""
+
+    def __init__(self, matcher):
+        self._matcher = matcher
+        self.requests = []
+
+    def execute(self, requests):
+        self.requests.extend(requests)
+        return self._matcher.execute(requests)
+
+    def global_alignment_estimate(self):
+        return self._matcher.global_alignment_estimate()
+
+
 def measure_stages(src_wav, dst_wav, script):
     """Instrumented stage breakdown through the production path (stream
     cache + upload memo + disk alignment seed), plus kernel telemetry."""
@@ -151,9 +168,10 @@ def measure_stages(src_wav, dst_wav, script):
     t0 = time.time()
     matcher = DeviceMatcher(src, dst, groups_to_spans(groups, src))
     t_init = time.time() - t0
+    recorder = _RecordingMatcher(matcher)
     TELEMETRY.reset()
     t0 = time.time()
-    calculate_shifts(src, dst, groups, 10, 30, 5, matcher=matcher)
+    calculate_shifts(src, dst, groups, 10, 30, 5, matcher=recorder)
     t_search = time.time() - t0
     telemetry = TELEMETRY.summary()
     log(
@@ -161,7 +179,45 @@ def measure_stages(src_wav, dst_wav, script):
         % (t_load, t_init, t_search)
     )
     log("bench: search telemetry — %s" % json.dumps(telemetry))
-    return t_search, telemetry
+    return t_search, telemetry, matcher, recorder.requests
+
+
+def measure_search_execute(matcher, requests, attempts=3, repeat=9):
+    """Device-execute vs wire split for the episode's REAL search rounds.
+
+    Replays the recorded requests through the production path
+    (execute_planned_multi) with each chunk dispatched once vs ``repeat``
+    times before the single fetch.  The device queue serializes the
+    repeats, so ``fetch(N) ≈ N*execute + wire``:
+        execute ≈ (fetch_N - fetch_1) / (N - 1);  wire ≈ fetch_1 - execute.
+    Returns (execute_seconds, wire_seconds, kernel_gflop) for the round.
+    """
+    from sushi_tpu.align.batcher import TELEMETRY, execute_planned_multi
+
+    items = [(matcher.pair, matcher.plan(request, request)) for request in requests]
+
+    def fetch_time(times):
+        best = float("inf")
+        gflop = 0.0
+        for _ in range(attempts):
+            TELEMETRY.reset()
+            execute_planned_multi(items, repeat=times)
+            stats = TELEMETRY.rounds[-1]
+            best = min(best, stats.fetch_seconds)
+            gflop = stats.kernel_gflop
+        return best, gflop
+
+    fetch_1, gflop = fetch_time(1)
+    fetch_n, _ = fetch_time(repeat)
+    execute = max((fetch_n - fetch_1) / (repeat - 1), 0.0)
+    wire = max(fetch_1 - execute, 0.0)
+    log(
+        "bench: search round split — execute %.1fms, wire %.1fms "
+        "(fetch_1 %.1fms, fetch_%d %.1fms, %.2f kernel GFLOP -> %.0f GFLOP/s)"
+        % (execute * 1e3, wire * 1e3, fetch_1 * 1e3, repeat, fetch_n * 1e3,
+           gflop, (gflop / execute if execute > 0 else 0.0))
+    )
+    return execute, wire, gflop
 
 
 def measure_season(src_wav, dst_wav, script, episodes=12):
@@ -220,41 +276,100 @@ def measure_relay_rtt():
     return rtt
 
 
+# TPU v5e (1 chip) public peaks, for honest utilization ratios
+_V5E_PEAK_BF16_GFLOPS = 197_000.0
+_V5E_PEAK_HBM_GBPS = 819.0
+
+
 def measure_kernel_throughput():
-    """Device-only kernel throughput: batched searches per second at the
-    standard bucket shapes (no host, no transfers — pure device rate)."""
+    """Device-only kernel throughput at the standard bucket shapes.
+
+    Amortized over many queue-serialized dispatches with ONE final fetch,
+    so relay wire latency divides out: ``elapsed ≈ N*execute + wire``.
+    Reports searches/s, model GFLOP/s (vs the chip's bf16 peak) and the
+    gather-traffic GB/s (vs HBM peak) — the honest denominators for any
+    kernel-optimization claim.  Returns the per-shape dicts."""
     import numpy as np
-    import jax
     import jax.numpy as jnp
 
+    from sushi_tpu.align.batcher import kernel_flop_model
     from sushi_tpu.ops import sqdiff
 
     rng = np.random.RandomState(0)
     stream = jnp.asarray(rng.randint(0, 256, 1 << 25).astype(np.uint8))
-    report = []
-    for fft_size, batch in ((131072, 128), (524288, 128)):
+    shapes = []
+    for fft_size, batch, pat_cap in ((98304, 64, 32768), (131072, 128, 32768), (524288, 128, 65536)):
         starts = jnp.asarray(rng.randint(0, 1 << 24, batch).astype(np.int32))
         pat_lens = jnp.asarray(np.full(batch, 30000, np.int32))
         win_lens = jnp.asarray(np.full(batch, fft_size - 4096, np.int32))
-        def run():
-            scores, lags = sqdiff.match_from_streams(
-                stream, stream, starts, pat_lens, starts, win_lens,
-                fft_size=fft_size, slice_len=fft_size,
-            )
-            # fetch: block_until_ready can be a no-op on relayed backends
-            return np.asarray(scores), np.asarray(lags)
 
-        run()
+        def dispatch():
+            return sqdiff.match_from_streams_packed(
+                stream, stream, starts, pat_lens, starts, win_lens,
+                fft_size=fft_size, slice_len=fft_size, pat_cap=pat_cap,
+            )
+
+        np.asarray(dispatch())  # warm the executable
+        iterations = 12
         t0 = time.time()
-        iterations = 5
+        packed = None
         for _ in range(iterations):
-            run()
-        per_batch = (time.time() - t0) / iterations
-        report.append(
-            "n=%d: %.1fms/batch-of-%d (%.0f searches/s)"
-            % (fft_size, per_batch * 1e3, batch, batch / per_batch)
+            packed = dispatch()
+        np.asarray(packed)  # one fetch drains the whole queue
+        elapsed = time.time() - t0
+
+        t0 = time.time()
+        np.asarray(dispatch())
+        single = time.time() - t0  # 1*execute + wire
+        execute = max((elapsed - single) / (iterations - 1), 1e-9)
+
+        gflop = batch * kernel_flop_model(fft_size, pat_cap) / 1e9
+        gathered_gb = batch * fft_size * 2 * 4 / 1e9
+        shapes.append(
+            {
+                "fft_size": fft_size,
+                "batch": batch,
+                "execute_ms": round(execute * 1e3, 2),
+                "searches_per_second": round(batch / execute, 0),
+                "gflops": round(gflop / execute, 1),
+                "pct_of_bf16_peak": round(100.0 * gflop / execute / _V5E_PEAK_BF16_GFLOPS, 2),
+                "gather_gbps": round(gathered_gb / execute, 1),
+                "pct_of_hbm_peak": round(100.0 * gathered_gb / execute / _V5E_PEAK_HBM_GBPS, 1),
+            }
         )
-    log("bench: kernel-only throughput — " + "; ".join(report))
+        log("bench: kernel-only %s" % json.dumps(shapes[-1]))
+    return shapes
+
+
+def run_soak(iterations=12):
+    """Randomized exactness soak (tools/soak.py) as a driver-visible
+    artifact: batched decisions vs the sequential float64 oracle across
+    corruption/jump/truncation scenarios, ON THE CHIP.  12 iterations
+    (~1 min each through the relay: every iteration drives the kernel
+    batched AND one-request-at-a-time AND against the host oracle) keeps
+    the bench under budget; longer soaks run standalone
+    (``python tools/soak.py 100``).  Returns (passed, iterations) —
+    (None, 0) when the subprocess could not run."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    t0 = time.time()
+    try:
+        result = subprocess.run(
+            [sys.executable, "tools/soak.py", str(iterations)],
+            cwd=repo, capture_output=True, text=True, timeout=2400,
+        )
+        passed = result.returncode == 0
+        tail = (result.stderr or result.stdout).strip().splitlines()[-2:]
+    except (subprocess.SubprocessError, OSError) as error:
+        passed, tail = None, [str(error)]
+    for line in tail:
+        log("bench: soak | " + line)
+    log(
+        "bench: soak %s in %.1fs"
+        % ({True: "PASSED", False: "FAILED", None: "DID NOT RUN"}[passed], time.time() - t0)
+    )
+    return passed, iterations if passed is not None else 0
 
 
 def run_chip_kernel_check():
@@ -470,12 +585,24 @@ def main():
     worst = check_output_correctness()
     kernel_parity = run_chip_kernel_check()
     relay_rtt = measure_relay_rtt()
-    measure_kernel_throughput()
-    search_seconds, telemetry = measure_stages(src_wav, dst_wav, script)
+    kernel_shapes = measure_kernel_throughput()
+    search_seconds, telemetry, matcher, requests = measure_stages(src_wav, dst_wav, script)
+    execute_seconds, wire_seconds, round_gflop = measure_search_execute(matcher, requests)
     season_seconds = measure_season(src_wav, dst_wav, script, episodes=12)
+    season24_seconds = measure_season(src_wav, dst_wav, script, episodes=24)
+    # marginal cost of an extra episode once the batch is warm — the
+    # honest scale story: the relay RTT and per-process overheads amortize
+    # across the batch, so this is what a large season actually pays
+    season_marginal = max(season24_seconds - season_seconds, 0.0) / 12.0
+    log(
+        "bench: season marginal cost %.3fs/episode (12 eps %.2fs -> 24 eps %.2fs)"
+        % (season_marginal, season_seconds, season24_seconds)
+    )
+    soak_passed, soak_iterations = run_soak()
     regression_passed, regression_seconds = run_regression()
     baseline_cold, baseline_warm = measure_baseline(src_wav, dst_wav, script)
 
+    best_kernel = max(kernel_shapes, key=lambda s: s["gflops"]) if kernel_shapes else {}
     result = {
         "metric": "24min episode sync wall-clock (350 events, lower is better; "
         "vs_baseline = warm cv2-sequential speedup, ingest memoized on both sides)",
@@ -489,16 +616,32 @@ def main():
         "search_stage_seconds": round(search_seconds, 3),
         "season_12_episodes_seconds": round(season_seconds, 3),
         "season_episodes_per_minute": round(12 * 60.0 / season_seconds, 1),
+        "season_24_episodes_seconds": round(season24_seconds, 3),
+        "season_24_episodes_per_minute": round(24 * 60.0 / season24_seconds, 1),
+        "season_marginal_seconds_per_episode": round(season_marginal, 4),
         "regression_passed": regression_passed,
         "chip_kernel_parity": kernel_parity,
+        "soak_passed": soak_passed,
+        "soak_iterations": soak_iterations,
         "device_rounds": telemetry["rounds"],
         "device_requests": telemetry["requests"],
         "device_dispatch_seconds": telemetry["dispatch_seconds"],
         "device_fetch_seconds": telemetry["fetch_seconds"],
+        # honest split of the search round: device-execute vs relay wire
+        # (execute_planned_multi(repeat=N) amortization, see
+        # measure_search_execute)
+        "search_device_execute_seconds": round(execute_seconds, 4),
+        "search_wire_seconds": round(wire_seconds, 4),
+        "search_kernel_gflop": round(round_gflop, 2),
+        "search_kernel_gflops": round(round_gflop / execute_seconds, 1)
+        if execute_seconds > 0 else 0.0,
         "relay_rtt_seconds": round(relay_rtt, 4),
-        "device_coarse_gflop": telemetry["coarse_gflop"],
-        "device_gflops": telemetry["device_gflops"],
         "device_gathered_gb": telemetry["gathered_gb"],
+        # kernel-only microbench at the standard bucket shapes
+        "kernel_shapes": kernel_shapes,
+        "kernel_best_gflops": best_kernel.get("gflops", 0.0),
+        "kernel_best_pct_of_bf16_peak": best_kernel.get("pct_of_bf16_peak", 0.0),
+        "kernel_best_searches_per_second": best_kernel.get("searches_per_second", 0.0),
     }
     print(json.dumps(result), flush=True)
 

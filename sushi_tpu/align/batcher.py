@@ -74,17 +74,20 @@ class RoundStats:
     fetch_seconds: float = 0.0
     # {fft_size: [real_rows, padded_rows, chunks]}
     buckets: Dict[int, List[int]] = field(default_factory=dict)
-    coarse_gflop: float = 0.0
+    kernel_gflop: float = 0.0
     gathered_bytes: int = 0
 
-    def record_chunk(self, fft_size: int, rows: int, padded_rows: int) -> None:
+    def record_chunk(
+        self, fft_size: int, rows: int, padded_rows: int,
+        pat_cap: int = 0, rescore_k: int = 16, coarse_pool: int = 1,
+    ) -> None:
         bucket = self.buckets.setdefault(fft_size, [0, 0, 0])
         bucket[0] += rows
         bucket[1] += padded_rows
         bucket[2] += 1
-        # coarse pass: 3 real FFTs of length n (~2.5 n log2 n flop each)
-        # + O(n) elementwise per row; rescore adds ~K*3n MACs per row
-        self.coarse_gflop += padded_rows * (3 * 2.5 * fft_size * math.log2(fft_size)) / 1e9
+        self.kernel_gflop += padded_rows * kernel_flop_model(
+            fft_size, pat_cap, rescore_k, coarse_pool
+        ) / 1e9
         self.gathered_bytes += padded_rows * fft_size * 2 * 4  # f32 pattern+window rows
 
 
@@ -101,8 +104,7 @@ class Telemetry:
         total_requests = sum(r.requests for r in self.rounds)
         dispatch = sum(r.dispatch_seconds for r in self.rounds)
         fetch = sum(r.fetch_seconds for r in self.rounds)
-        gflop = sum(r.coarse_gflop for r in self.rounds)
-        device = dispatch + fetch
+        gflop = sum(r.kernel_gflop for r in self.rounds)
         buckets: Dict[int, List[int]] = {}
         for r in self.rounds:
             for fft_size, (rows, padded, chunks) in r.buckets.items():
@@ -110,20 +112,46 @@ class Telemetry:
                 b[0] += rows
                 b[1] += padded
                 b[2] += chunks
+        # NOTE deliberately no flop/(dispatch+fetch) rate here: through a
+        # tunneled relay the fetch timer includes wire latency, and a rate
+        # over it conflates kernel speed with RTT.  bench.py measures
+        # device-execute separately (execute_planned_multi(repeat=N)).
         return {
             "rounds": len(self.rounds),
             "requests": total_requests,
             "host_fallbacks": sum(r.host_fallbacks for r in self.rounds),
             "dispatch_seconds": round(dispatch, 4),
             "fetch_seconds": round(fetch, 4),
-            "coarse_gflop": round(gflop, 3),
-            "device_gflops": round(gflop / device, 2) if device > 0 else 0.0,
+            "kernel_gflop": round(gflop, 3),
             "gathered_gb": round(sum(r.gathered_bytes for r in self.rounds) / 1e9, 3),
             "buckets": {str(k): v for k, v in sorted(buckets.items())},
         }
 
 
 TELEMETRY = Telemetry()
+
+
+def kernel_flop_model(
+    fft_size: int, pat_cap: int = 0, rescore_k: int = 16, coarse_pool: int = 1,
+    pool_regions: int = 8,
+) -> float:
+    """Model flop per batch ROW of one match kernel call.
+
+    Coarse pass: 3 real transforms of coarse length — rfft(pattern),
+    rfft(window), irfft(correlation) — at ~2.5 n log2 n flop each, plus
+    ~14n full-rate elementwise (sliding energy cumsums, masking,
+    score assembly).  Exact rescore: 4 flop per pattern sample per
+    candidate lag; unpooled that is rescore_k + 2 plateau candidates,
+    pooled it is (pool_regions + 2) neighborhoods of (2*slack+1)*pool
+    lags each.
+    """
+    coarse_n = max(fft_size // max(coarse_pool, 1), 2)
+    coarse = 3 * 2.5 * coarse_n * math.log2(coarse_n) + 14 * fft_size
+    if coarse_pool > 1:
+        lags = (pool_regions + 2) * 9 * coarse_pool  # default slack=4 neighborhoods
+    else:
+        lags = rescore_k + 2
+    return coarse + lags * 4 * (pat_cap or fft_size)
 
 
 def _clip(value: float, lo: float, hi: float) -> float:
@@ -186,12 +214,104 @@ def _extend_with_zeros(data, total: int):
     return _EXTEND_JIT(data, total=total)
 
 
+# --- production mesh -------------------------------------------------------
+# With more than one local device the whole search runs SPMD: streams are
+# replicated over a 1-D ('dp',) mesh and every chunk's row axis is sharded
+# across it, so each device FFTs its share of the rows with zero
+# communication until the tiny [2, B] result gather.  Wide windows are
+# lag-chunked into rows (plan_wide_chunks) before sharding, so the same
+# axis carries the sequence-parallel analog ("sp"): one oversized search's
+# lag chunks land on different devices.  On a single chip the path is
+# bit-identical to before (no mesh, no resharding).
+
+_MESH_STATE: List[object] = []  # [] = unprobed, [None] = single device, [Mesh]
+
+
+def production_mesh():
+    """The ('dp',) mesh over local devices, or None on a single device.
+
+    SUSHI_MESH=off forces single-device; SUSHI_MESH=<n> caps the device
+    count (useful for tests on a virtual CPU mesh).
+    """
+    if _MESH_STATE:
+        return _MESH_STATE[0]
+    env = os.environ.get("SUSHI_MESH", "")
+    if env.lower() in ("off", "0", "none"):
+        _MESH_STATE.append(None)
+        return None
+    import jax
+
+    devices = jax.devices()
+    count = len(devices)
+    if env.isdigit():
+        count = min(count, int(env))
+    if count <= 1:
+        _MESH_STATE.append(None)
+        return None
+    from jax.sharding import Mesh
+
+    _MESH_STATE.append(Mesh(np.array(devices[:count]), ("dp",)))
+    _log.info("search mesh: dp=%d devices", count)
+    return _MESH_STATE[0]
+
+
+_SHARDED_MATCH: Dict[int, object] = {}
+
+
+def _sharded_match_packed(mesh):
+    """match_from_streams_packed jitted with rows sharded over the mesh."""
+    cached = _SHARDED_MATCH.get(id(mesh))
+    if cached is not None:
+        return cached
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def positional(src, dst, ps, pl, ws, wl, fft_size, slice_len, rescore_k,
+                   pat_cap, coarse_pool, pool_regions, pool_slack):
+        return sqdiff.match_from_streams_packed.__wrapped__(
+            src, dst, ps, pl, ws, wl,
+            fft_size=fft_size, slice_len=slice_len, rescore_k=rescore_k,
+            pat_cap=pat_cap, coarse_pool=coarse_pool,
+            pool_regions=pool_regions, pool_slack=pool_slack,
+        )
+
+    replicated = NamedSharding(mesh, P())
+    rows = NamedSharding(mesh, P("dp"))
+    jitted = jax.jit(
+        positional,
+        static_argnums=tuple(range(6, 13)),
+        # jit forbids call-time kwargs once in_shardings is given, hence
+        # the positional wrapper
+        in_shardings=(replicated, replicated, rows, rows, rows, rows),
+        out_shardings=NamedSharding(mesh, P(None, "dp")),
+    )
+
+    def call(src, dst, ps, pl, ws, wl, *, fft_size, slice_len, rescore_k=16,
+             pat_cap=None, coarse_pool=None, pool_regions=8, pool_slack=4):
+        return jitted(src, dst, ps, pl, ws, wl, fft_size, slice_len,
+                      rescore_k, pat_cap, coarse_pool, pool_regions, pool_slack)
+
+    _SHARDED_MATCH[id(mesh)] = call
+    return call
+
+
+def _replicate_on_mesh(device_array):
+    """Replicate a device array across the production mesh (no-op without one)."""
+    mesh = production_mesh()
+    if mesh is None:
+        return device_array
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return jax.device_put(device_array, NamedSharding(mesh, P()))
+
+
 # device residency memo: {stream cache_key: device array}.  A warm sync of
 # an episode whose streams are already on device skips the host->device
 # transfer entirely (~0.3 s per 34 MB stream through a tunneled relay).
 _UPLOAD_MEMO: Dict[str, object] = {}
-# 32 quantized streams ≈ 1 GB HBM — small next to a 16 GB chip, and enough
-# to keep a whole 12-episode season resident between batch runs
+# 64 quantized streams ≈ 2 GB HBM — small next to a 16 GB chip, and enough
+# to keep a whole 24-episode season (48 streams) resident between batch runs
 
 
 def _env_int(name: str, default: int) -> int:
@@ -207,7 +327,34 @@ def _env_int(name: str, default: int) -> int:
         return default
 
 
-_UPLOAD_MEMO_MAX = _env_int("SUSHI_UPLOAD_MEMO", 32)
+_UPLOAD_MEMO_MAX = _env_int("SUSHI_UPLOAD_MEMO", 64)
+
+# Per-request pooled coarse-to-fine (ops/sqdiff._match_pooled) is a
+# MEASURED REJECT as a default: on a v5e, pool=8 with an exactness-robust
+# refinement slack costs MORE than it saves (the Pallas rescore runs
+# ~0.3 us/candidate/row, so the ~1400 neighborhood candidates robust
+# pooling needs dwarf the ~7 ms coarse FFT it avoids: pool8/slack4
+# measured 15.6 ms vs 8.9 ms unpooled per 64-row chunk), and mean pooling
+# mis-localizes flat-basin minima on smooth low-frequency audio (14/40
+# cv2 mismatches on a random-walk fixture at slack 1).  Kept as an
+# opt-in experiment: SUSHI_COARSE_POOL=<pool width>.
+_COARSE_POOL_MIN_FFT = 1 << 15
+_COARSE_POOL_ENV = _env_int("SUSHI_COARSE_POOL", 0)
+# a pooled pattern needs enough envelope samples for its dip to survive
+# mean pooling; below this many *pooled* pattern samples, stay full-rate
+_COARSE_POOL_MIN_PAT_BLOCKS = 64
+
+
+def _coarse_pool_for(fft_size: int, min_pat_len: int) -> Optional[int]:
+    """Pool width for a bucket's coarse pass, or None for full rate."""
+    if _COARSE_POOL_ENV <= 1:
+        return None
+    pool = _COARSE_POOL_ENV
+    if fft_size < _COARSE_POOL_MIN_FFT:
+        return None
+    if min_pat_len < _COARSE_POOL_MIN_PAT_BLOCKS * pool:
+        return None
+    return pool
 
 # {(src cache_key, dst cache_key): whole-stream alignment estimate}
 _DELTA0_MEMO: Dict[Tuple[str, str], int] = {}
@@ -257,6 +404,7 @@ def upload_stream(stream: AudioStream):
     total = -(-(len(data) + _MAX_FFT) // _STREAM_QUANTUM) * _STREAM_QUANTUM
     fine = -(-len(data) // _UPLOAD_QUANTUM) * _UPLOAD_QUANTUM  # always < total
     device = _extend_with_zeros(jnp.asarray(np.pad(data, (0, fine - len(data)))), total)
+    device = _replicate_on_mesh(device)
     if key is not None:
         with _MEMO_LOCK:
             while len(_UPLOAD_MEMO) >= _UPLOAD_MEMO_MAX:
@@ -537,6 +685,7 @@ def execute_planned_multi(
     items: Sequence[Tuple[StreamPair, PlannedSearch]],
     rescore_k: int = 16,
     max_batch_elements: int = _MAX_BATCH_ELEMENTS,
+    repeat: int = 1,
 ) -> Dict[object, Tuple[float, float, int]]:
     """Run planned searches as bucketed batched kernel calls.
 
@@ -545,6 +694,11 @@ def execute_planned_multi(
     dispatch burst, ONE device->host fetch.  Results are keyed by each
     item's ``key``.  Chunks pad up to a few batch-size buckets so only a
     handful of (fft_size, batch) shapes ever compile.
+
+    ``repeat`` re-dispatches every chunk N times before the single fetch
+    (results are identical; the device queue serializes them), so a bench
+    can separate device-execute time from relay wire latency:
+    ``fetch(N) ≈ N*execute + wire`` ⇒ ``execute ≈ (fetch_N - fetch_1)/(N-1)``.
     """
     import jax.numpy as jnp
 
@@ -592,6 +746,11 @@ def execute_planned_multi(
             continue
         by_bucket.setdefault((pair, fft_size), []).append(item)
 
+    mesh = production_mesh()
+    mesh_devices = mesh.devices.size if mesh is not None else 1
+    match_packed = (
+        sqdiff.match_from_streams_packed if mesh is None else _sharded_match_packed(mesh)
+    )
     dispatch_started = time.perf_counter()
     in_flight = []
     for (pair, fft_size), bucket_items in sorted(
@@ -601,28 +760,37 @@ def execute_planned_multi(
         for chunk_start in range(0, len(bucket_items), max_b):
             chunk = bucket_items[chunk_start : chunk_start + max_b]
             b = len(chunk)
-            padded_b = next(s for s in _BATCH_BUCKETS if s >= b)
+            padded_b = next(
+                (s for s in _BATCH_BUCKETS if s >= b and s % mesh_devices == 0),
+                -(-b // mesh_devices) * mesh_devices,
+            )
             rows = chunk + [chunk[0]] * (padded_b - b)
             # static pattern-length bound for the exact rescore: its work is
             # O(pat_cap) per candidate, so bucketing it (same admitted sizes
             # as the FFT) halves rescore cost for typical line-length
             # patterns inside window-dominated ffts
             pat_cap = min(_fft_bucket(max(r.pat_len for r in rows)), fft_size)
-            packed = sqdiff.match_from_streams_packed(
-                pair.src_dev,
-                pair.dst_dev,
+            coarse_pool = _coarse_pool_for(fft_size, min(r.pat_len for r in chunk))
+            operands = (
                 jnp.asarray(np.array([r.pat_start for r in rows], np.int32)),
                 jnp.asarray(np.array([r.pat_len for r in rows], np.int32)),
                 jnp.asarray(np.array([r.win_start for r in rows], np.int32)),
                 jnp.asarray(np.array([r.win_len for r in rows], np.int32)),
-                fft_size=fft_size,
-                slice_len=fft_size,
-                rescore_k=rescore_k,
-                pat_cap=pat_cap,
             )
+            for _ in range(max(1, repeat)):
+                packed = match_packed(
+                    pair.src_dev,
+                    pair.dst_dev,
+                    *operands,
+                    fft_size=fft_size,
+                    slice_len=fft_size,
+                    rescore_k=rescore_k,
+                    pat_cap=pat_cap,
+                    coarse_pool=coarse_pool,
+                )
             # keep the padded tail; trimming here would be an eager device op
             in_flight.append((chunk, padded_b, packed))
-            stats.record_chunk(fft_size, b, padded_b)
+            stats.record_chunk(fft_size, b, padded_b, pat_cap, rescore_k, coarse_pool or 1)
 
     # ONE device->host fetch for the whole round: remote/tunneled backends
     # pay a full round-trip per eager op and per sync, so each chunk's

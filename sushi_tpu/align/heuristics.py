@@ -56,15 +56,32 @@ def interpolate_nones(data: Sequence[Optional[float]], points: Sequence[float]) 
 
 
 def running_median(values: Sequence[float], window_size: int) -> List[float]:
-    """Centered median with a shrinking window near the edges."""
+    """Centered median with a shrinking window near the edges.
+
+    The interior (every index a full half-window from both ends) is one
+    vectorized median over a sliding view — same float64 arithmetic as
+    per-index np.median calls, ~50x fewer Python/numpy dispatches on a
+    350-event episode; only the 2*half edge indices keep the scalar loop.
+    """
     if window_size % 2 != 1:
         raise SushiError("Median window size should be odd")
     half = window_size // 2
     count = len(values)
-    return [
-        float(np.median(values[idx - min(half, idx, count - idx - 1) : idx + min(half, idx, count - idx - 1) + 1]))
-        for idx in range(count)
-    ]
+    arr = np.asarray(values, np.float64)
+
+    def edge(idx: int) -> float:
+        k = min(half, idx, count - idx - 1)
+        return float(np.median(arr[idx - k : idx + k + 1]))
+
+    if count <= 2 * half + 1 or half == 0:
+        return [edge(idx) for idx in range(count)]
+    out = np.empty(count)
+    windows = np.lib.stride_tricks.sliding_window_view(arr, 2 * half + 1)
+    out[half : count - half] = np.median(windows, axis=1)
+    for idx in range(half):
+        out[idx] = edge(idx)
+        out[count - idx - 1] = edge(count - idx - 1)
+    return out.tolist()
 
 
 def smooth_events(events: Sequence, radius: int) -> None:

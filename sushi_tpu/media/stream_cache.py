@@ -34,7 +34,8 @@ from sushi_tpu.media.stream import AudioStream
 _log = logging.getLogger("sushi_tpu")
 
 _FORMAT_VERSION = 1
-_MAX_ENTRIES = 24
+# 64 entries keeps a 24-episode season's 48 prepared streams warm on disk
+_MAX_ENTRIES = 64
 
 
 def cache_dir() -> Optional[str]:

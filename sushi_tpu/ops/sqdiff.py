@@ -11,9 +11,9 @@ XLA computation:
       ssd(u)   = ||T||^2 - 2*(S ⋆ T)(u) + E(u),   E(u) = sum_{i<|T|} S[u+i]^2
       score(u) = ssd(u) / sqrt(||T||^2 * E(u))
 
-  The correlation and the sliding window energy are both O(n log n) FFTs
-  (the energy kernel is a boxcar whose DFT has a closed form, so it costs
-  no extra FFT).
+  The correlation is 3 length-n transforms; the sliding window energy is
+  O(n) elementwise via two-level compensated cumulative sums
+  (:func:`sliding_energy` — no extra transforms, no float64 needed).
 
 * **exact pass**: the coarse scores carry ~1e-6-relative FFT noise, which
   can flip near-tie argmins.  We take the top-K coarse candidates and
@@ -79,21 +79,78 @@ def oracle_match(pattern: np.ndarray, window: np.ndarray) -> Tuple[float, int]:
 # Device kernel.
 
 
-def _boxcar_rfft(lengths: jnp.ndarray, fft_size: int) -> jnp.ndarray:
-    """rfft of a left-aligned boxcar of the given length, analytically.
+# 64-sample blocks: the within-block f32 prefix's absolute rounding error
+# is bounded by eps * block_total (~1e-6 for [0,1] audio), which sets the
+# energy's absolute accuracy floor
+_ENERGY_BLOCK = 64
 
-    DFT of ones[0:L) at bin k is ``exp(-i*pi*k*(L-1)/n) * sin(pi*k*L/n) /
-    sin(pi*k/n)`` (geometric series); bin 0 is L.
+
+def _two_float_scan(values: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Inclusive prefix sum along the last axis as (hi, lo) two-float pairs.
+
+    A plain f32 prefix difference carries the absolute rounding error of
+    the FULL prefix (~eps * total), which for short windows swamps the
+    windowed sum itself.  Knuth two-sum compensation inside an
+    associative scan keeps the pair accurate to ~eps^2, so a later
+    pairwise difference is accurate relative to the WINDOW, not the
+    stream.  TPUs have no float64 — this is the float64-free equivalent.
     """
-    bins = fft_size // 2 + 1
-    k = jnp.arange(bins, dtype=jnp.float32)[None, :]
-    length = lengths.astype(jnp.float32)[:, None]
-    angle_num = jnp.pi * k * length / fft_size
-    angle_den = jnp.pi * k / fft_size
-    # sin(pi*k/n) == 0 only at k == 0 for k < bins <= n/2+1
-    ratio = jnp.where(k == 0, length, jnp.sin(angle_num) / jnp.where(k == 0, 1.0, jnp.sin(angle_den)))
-    phase = -angle_num + angle_den  # == -pi*k*(L-1)/n
-    return (ratio * jnp.exp(1j * phase.astype(jnp.complex64))).astype(jnp.complex64)
+
+    def combine(a, b):
+        a_hi, a_lo = a
+        b_hi, b_lo = b
+        hi = a_hi + b_hi
+        v = hi - a_hi
+        err = (a_hi - (hi - v)) + (b_hi - v)
+        return hi, err + a_lo + b_lo
+
+    return jax.lax.associative_scan(
+        combine, (values, jnp.zeros_like(values)), axis=values.ndim - 1
+    )
+
+
+def sliding_energy(windows: jnp.ndarray, pat_lens: jnp.ndarray) -> jnp.ndarray:
+    """Exact sliding pattern-length energy E(u) = sum_{i<pat_len} S[u+i]^2
+    for every lag u, via a two-level compensated cumulative sum.
+
+    Replaces the analytic-boxcar FFT formulation (2 of the coarse pass's 5
+    length-n transforms, measured ~40% of coarse time on a v5e) with O(n)
+    elementwise work: within-block f32 prefixes (block = 256 samples, so
+    the f32 error is relative to one block) + a two-float compensated
+    scan over block totals (so the block-prefix difference is accurate
+    relative to the window, not the stream).  ``windows`` must be
+    zero-padded past ``win_len``, which makes E(u) for spans past the
+    buffer equal the truncated sum, exactly like the boxcar version.
+    """
+    batch, n = windows.shape
+    sq = windows * windows
+    blocks = sq.reshape(batch, n // _ENERGY_BLOCK, _ENERGY_BLOCK)
+    inblock = jnp.cumsum(blocks, axis=2)
+    prefix_hi, prefix_lo = _two_float_scan(inblock[:, :, -1])
+    # pad so block index 0 maps to an exact zero prefix
+    zeros = jnp.zeros((batch, 1), jnp.float32)
+    prefix_hi = jnp.concatenate([zeros, prefix_hi], axis=1)
+    prefix_lo = jnp.concatenate([zeros, prefix_lo], axis=1)
+    inblock_flat = inblock.reshape(batch, n)
+
+    def prefix_at(x):
+        """P(x) = sum sq[0:x] as (hi, lo); x in [0, n]."""
+        block = x // _ENERGY_BLOCK
+        rem = x - block * _ENERGY_BLOCK
+        hi = jnp.take_along_axis(prefix_hi, block, axis=1)
+        lo = jnp.take_along_axis(prefix_lo, block, axis=1)
+        frac = jnp.where(
+            rem > 0,
+            jnp.take_along_axis(inblock_flat, jnp.maximum(x - 1, 0), axis=1),
+            0.0,
+        )
+        return hi, lo + frac
+
+    u = jnp.arange(n, dtype=jnp.int32)[None, :]
+    x2 = jnp.minimum(u + pat_lens[:, None], n)
+    hi2, lo2 = prefix_at(x2)
+    hi1, lo1 = prefix_at(u)
+    return jnp.maximum((hi2 - hi1) + (lo2 - lo1), 0.0)
 
 
 def _masked_rows(rows: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
@@ -118,9 +175,10 @@ def coarse_scores(
     win_f = jnp.fft.rfft(windows, n=fft_size)
     corr = jnp.fft.irfft(win_f * jnp.conj(pat_f), n=fft_size)
 
-    win_sq_f = jnp.fft.rfft(windows * windows, n=fft_size)
-    energy = jnp.fft.irfft(win_sq_f * jnp.conj(_boxcar_rfft(pat_lens, fft_size)), n=fft_size)
-    energy = jnp.maximum(energy, 0.0)
+    # the sliding window energy by compensated cumulative sums: O(n)
+    # elementwise instead of 2 more length-n transforms (and MORE accurate
+    # than the FFT boxcar — no spectral round-trip)
+    energy = sliding_energy(windows, pat_lens)
 
     pat_energy = jnp.sum(patterns * patterns, axis=1, keepdims=True)
     num = jnp.maximum(pat_energy - 2.0 * corr + energy, 0.0)
@@ -189,59 +247,59 @@ def _rescore_auto(patterns, pat_lens, windows, candidates, pat_cap=None):
     if not pallas_ssd.pallas_rescore_supported(n):
         return _rescore_candidates(patterns, pat_lens, windows, candidates, pat_cap)
     on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu and candidates.shape[1] > 64:
+        # interpret-mode pallas at pooled candidate counts (hundreds of
+        # fori_loop steps) is minutes-slow on CPU; the XLA formulation is
+        # numerically identical there, and the compiled Pallas kernel is
+        # still parity-checked on real hardware (tools/chip_kernel_check)
+        return _rescore_candidates(patterns, pat_lens, windows, candidates, pat_cap)
     return pallas_ssd.rescore_candidates_pallas(
         patterns, pat_lens, windows, candidates, pat_cap, interpret=not on_tpu
     )
 
 
-def match_padded_batch(
-    patterns: jnp.ndarray,
-    pat_lens: jnp.ndarray,
-    windows: jnp.ndarray,
-    win_lens: jnp.ndarray,
-    fft_size: int,
-    rescore_k: int = 16,
-    pat_cap: Optional[int] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Best (score, lag) per row of a padded batch, cv2-convention.
+def _blockwise_candidates(coarse: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Top-k candidate lags from a coarse score matrix, plus plateau seeds.
 
-    Returns ``scores [B] float32`` (clamped to 1.0 like cv2) and
-    ``lags [B] int32`` (first minimal lag; lag 0 when nothing scores
-    below 1.0, matching cv2's argmin over an all-ones row).
-    ``pat_cap`` is a static bound on every row's ``pat_len`` that trims
-    the exact-rescore work (see :func:`_rescore_candidates`).
+    Hierarchical selection: a full top_k over n lags lowers to a sort
+    (hundreds of ms at n=2^19); instead take each 128-lane block's first
+    minimum, then top_k over the n/128 block minima.  The true argmin is
+    always some block's winner; intra-block near-ties only matter for
+    first-lag tie-breaking, which the plateau candidates preserve: score
+    plateaus (constant audio regions) can be wider than k*128 lags, hiding
+    the EARLIEST minimal lag that cv2's first-min rule would return, so
+    nominate the first lag inside a tie band around the coarse minimum.
+    The band must scale with the score (normalized SSD is O(1), but
+    clamped regions sit at 2.0): a tight band of ~8x the coarse pass's
+    observed FFT noise (~1e-6 relative) nominates only genuine near-ties,
+    and a second loose band catches rows whose plateau noise runs hotter.
+    False nominees cost nothing — the exact rescore outvotes them.
+
+    Returns ``[B, k+2]`` int32 lags (in the coarse matrix's lag units).
     """
-    coarse = coarse_scores(patterns, pat_lens, windows, win_lens, fft_size)
-    # hierarchical candidate selection: a full top_k over n lags lowers to a
-    # sort (hundreds of ms at n=2^19); instead take each 128-lane block's
-    # first minimum, then top_k over the n/128 block minima.  The true
-    # argmin is always some block's winner; intra-block near-ties only
-    # matter for first-lag tie-breaking, which the plateau candidate below
-    # preserves.
     blocks = coarse.reshape(coarse.shape[0], -1, _LANES)
     block_min = jnp.min(blocks, axis=2)
     block_arg = jnp.argmin(blocks, axis=2).astype(jnp.int32)  # first-in-block
-    effective_k = min(rescore_k, block_min.shape[1])
+    effective_k = min(k, block_min.shape[1])
     _, block_ids = jax.lax.top_k(-block_min, effective_k)  # ties -> lower block
     block_ids = block_ids.astype(jnp.int32)
     candidates = block_ids * _LANES + jnp.take_along_axis(block_arg, block_ids, axis=1)
-    # score plateaus (constant audio regions) can be wider than K*128 lags,
-    # hiding the EARLIEST minimal lag that cv2's first-min rule would
-    # return; nominate the first lag inside a tie band around the coarse
-    # minimum so the exact tie-break can pick it.  The band must scale with
-    # the score (normalized SSD is O(1), but clamped regions sit at 2.0):
-    # a tight band of ~8x the coarse pass's observed FFT noise (~1e-6
-    # relative) nominates only genuine near-ties, and a second loose band
-    # catches rows whose plateau noise runs hotter.  False nominees cost
-    # nothing — the exact rescore outvotes them.
     coarse_min = jnp.min(coarse, axis=1, keepdims=True)
     scale = 1.0 + jnp.abs(coarse_min)
     first_tight = jnp.argmax(coarse <= coarse_min + 8e-6 * scale, axis=1).astype(jnp.int32)
     first_loose = jnp.argmax(coarse <= coarse_min + 1e-4 * scale, axis=1).astype(jnp.int32)
-    candidates = jnp.concatenate(
-        [first_tight[:, None], first_loose[:, None], candidates], axis=1
-    )
+    return jnp.concatenate([first_tight[:, None], first_loose[:, None], candidates], axis=1)
 
+
+def _exact_select(
+    patterns: jnp.ndarray,
+    pat_lens: jnp.ndarray,
+    windows: jnp.ndarray,
+    win_lens: jnp.ndarray,
+    candidates: jnp.ndarray,
+    pat_cap: Optional[int],
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact-rescore the candidate lags and pick cv2's (score, lag)."""
     num, energy = _rescore_auto(patterns, pat_lens, windows, candidates, pat_cap)
     pat_energy = jnp.sum(patterns * patterns, axis=1, keepdims=True)
     den = jnp.sqrt(pat_energy * energy)
@@ -267,8 +325,97 @@ def match_padded_batch(
     )
 
 
+def match_padded_batch(
+    patterns: jnp.ndarray,
+    pat_lens: jnp.ndarray,
+    windows: jnp.ndarray,
+    win_lens: jnp.ndarray,
+    fft_size: int,
+    rescore_k: int = 16,
+    pat_cap: Optional[int] = None,
+    coarse_pool: Optional[int] = None,
+    pool_regions: int = 8,
+    pool_slack: int = 4,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Best (score, lag) per row of a padded batch, cv2-convention.
+
+    Returns ``scores [B] float32`` (clamped to 1.0 like cv2) and
+    ``lags [B] int32`` (first minimal lag; lag 0 when nothing scores
+    below 1.0, matching cv2's argmin over an all-ones row).
+    ``pat_cap`` is a static bound on every row's ``pat_len`` that trims
+    the exact-rescore work (see :func:`_rescore_candidates`).
+
+    ``coarse_pool=P`` runs the coarse pass at P-fold mean-pooled
+    resolution (FFT length n/P — the per-request coarse-to-fine mode):
+    ``pool_regions`` pooled candidates plus the two plateau seeds each
+    expand to a full-rate lag neighborhood of ``pool_slack`` pooled
+    blocks on each side for the exact rescore, so decisions still come
+    from exact full-rate scores.  Callers gate P on pattern length
+    (envelope matching needs >= ~64 pooled pattern samples; see
+    batcher._coarse_pool_for).
+    """
+    if coarse_pool and coarse_pool > 1:
+        return _match_pooled(
+            patterns, pat_lens, windows, win_lens, fft_size,
+            coarse_pool, pool_regions, pool_slack, pat_cap,
+        )
+    coarse = coarse_scores(patterns, pat_lens, windows, win_lens, fft_size)
+    candidates = _blockwise_candidates(coarse, rescore_k)
+    return _exact_select(patterns, pat_lens, windows, win_lens, candidates, pat_cap)
+
+
+def _match_pooled(
+    patterns: jnp.ndarray,
+    pat_lens: jnp.ndarray,
+    windows: jnp.ndarray,
+    win_lens: jnp.ndarray,
+    fft_size: int,
+    pool: int,
+    regions: int,
+    slack: int,
+    pat_cap: Optional[int],
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pooled coarse pass + full-rate exact refinement.
+
+    The coarse SQDIFF runs on P-fold mean-pooled rows (FFT length n/P):
+    a match's envelope survives mean pooling when the pattern spans many
+    pooled samples.  Mean pooling low-passes the SSD landscape, so the
+    pooled minimum can sit several pooled lags from the full-rate minimum
+    when the dip's basin is flat (smooth, low-frequency audio) — the
+    refinement neighborhood therefore extends ``slack`` pooled blocks on
+    EACH side of a candidate, not just one.  Each of the top ``regions``
+    pooled candidates (and the two plateau seeds) expands to
+    ``[p*P - slack*P, (p + slack + 1)*P)``; the exact rescore then
+    decides among all neighborhoods at full rate, preserving cv2's
+    first-lag tie-break.  Exactness is soak-verified (tools/soak.py) like
+    every kernel change.
+    """
+    batch, n = patterns.shape
+    pooled_n = n // pool
+    pat_p = patterns.reshape(batch, pooled_n, pool).mean(axis=2)
+    win_p = windows.reshape(batch, pooled_n, pool).mean(axis=2)
+    # floor'd pooled lengths keep pooled lag counts >= the covering count
+    # floor((win_len - pat_len)/P) + 1, so every valid full-rate lag falls
+    # inside some pooled candidate's neighborhood
+    pat_lens_p = jnp.maximum(pat_lens // pool, 1)
+    win_lens_p = jnp.maximum(win_lens // pool, pat_lens_p)
+    coarse_p = coarse_scores(pat_p, pat_lens_p, win_p, win_lens_p, pooled_n)
+
+    pooled_cands = _blockwise_candidates(coarse_p, regions)  # [B, regions+2]
+    base = pooled_cands * pool - slack * pool
+    offsets = jnp.arange((2 * slack + 1) * pool, dtype=jnp.int32)[None, None, :]
+    candidates = (base[:, :, None] + offsets).reshape(batch, -1)
+    candidates = jnp.clip(candidates, 0, n - 1)
+    return _exact_select(patterns, pat_lens, windows, win_lens, candidates, pat_cap)
+
+
 # jitted entry for pre-padded batches (tests, host-assembled requests)
-match_padded = jax.jit(match_padded_batch, static_argnames=("fft_size", "rescore_k", "pat_cap"))
+match_padded = jax.jit(
+    match_padded_batch,
+    static_argnames=(
+        "fft_size", "rescore_k", "pat_cap", "coarse_pool", "pool_regions", "pool_slack"
+    ),
+)
 
 
 @functools.partial(jax.jit, static_argnames=("pool",))
@@ -316,7 +463,13 @@ def pooled_alignment_peak(
     return jnp.where(peak > fft_size // 2, peak - fft_size, peak) * pool
 
 
-@functools.partial(jax.jit, static_argnames=("fft_size", "slice_len", "rescore_k", "pat_cap"))
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "fft_size", "slice_len", "rescore_k", "pat_cap", "coarse_pool",
+        "pool_regions", "pool_slack",
+    ),
+)
 def match_from_streams(
     src: jnp.ndarray,
     dst: jnp.ndarray,
@@ -329,6 +482,9 @@ def match_from_streams(
     slice_len: int,
     rescore_k: int = 16,
     pat_cap: Optional[int] = None,
+    coarse_pool: Optional[int] = None,
+    pool_regions: int = 8,
+    pool_slack: int = 4,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Gather (pattern, window) slices from device-resident streams and match.
 
@@ -348,10 +504,19 @@ def match_from_streams(
 
     patterns = _masked_rows(jax.vmap(lambda s: gather(src, s))(pat_starts), pat_lens)
     windows = _masked_rows(jax.vmap(lambda s: gather(dst, s))(win_starts), win_lens)
-    return match_padded_batch(patterns, pat_lens, windows, win_lens, fft_size, rescore_k, pat_cap)
+    return match_padded_batch(
+        patterns, pat_lens, windows, win_lens, fft_size, rescore_k, pat_cap,
+        coarse_pool, pool_regions, pool_slack,
+    )
 
 
-@functools.partial(jax.jit, static_argnames=("fft_size", "slice_len", "rescore_k", "pat_cap"))
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "fft_size", "slice_len", "rescore_k", "pat_cap", "coarse_pool",
+        "pool_regions", "pool_slack",
+    ),
+)
 def match_from_streams_packed(
     src: jnp.ndarray,
     dst: jnp.ndarray,
@@ -364,6 +529,9 @@ def match_from_streams_packed(
     slice_len: int,
     rescore_k: int = 16,
     pat_cap: Optional[int] = None,
+    coarse_pool: Optional[int] = None,
+    pool_regions: int = 8,
+    pool_slack: int = 4,
 ) -> jnp.ndarray:
     """:func:`match_from_streams`, packed as one ``[2, B]`` float32 array
     (row 0 scores, row 1 lags — exact in float32 since lags < 2^22).
@@ -376,6 +544,7 @@ def match_from_streams_packed(
     scores, lags = match_from_streams(
         src, dst, pat_starts, pat_lens, win_starts, win_lens,
         fft_size=fft_size, slice_len=slice_len, rescore_k=rescore_k, pat_cap=pat_cap,
+        coarse_pool=coarse_pool, pool_regions=pool_regions, pool_slack=pool_slack,
     )
     return jnp.stack([scores, lags.astype(jnp.float32)])
 

@@ -45,6 +45,100 @@ def create_directory_if_not_exists(path: Optional[str]) -> None:
         os.makedirs(path)
 
 
+class KeyframeData:
+    """Keyframe-snapping inputs: key times + timecodes for both sides."""
+
+    def __init__(self, src_keytimes, dst_keytimes, src_timecodes, dst_timecodes):
+        self.src_keytimes = src_keytimes
+        self.dst_keytimes = dst_keytimes
+        self.src_timecodes = src_timecodes
+        self.dst_timecodes = dst_timecodes
+
+
+def postprocess_events(
+    events,
+    chapter_times,
+    grouping: bool,
+    smooth_radius: int,
+    kf_data: Optional[KeyframeData],
+    max_ts_duration: float,
+    max_ts_distance: float,
+    max_kf_distance,
+    kf_mode: str,
+    plot=None,
+) -> None:
+    """Post-search repair/smoothing/averaging/keyframe-snapping.
+
+    The exact reference order (/root/reference/sushi.py:682-721), shared by
+    the single-episode pipeline and the season batch entry so a season job
+    with the same options produces byte-identical output to a pipeline
+    run.  Mutates event shifts in place; callers apply_shift afterwards.
+    """
+    if grouping:
+        if chapter_times:
+            groups = heuristics.groups_from_chapters(events, chapter_times)
+            for group in groups:
+                heuristics.fix_near_borders(group)
+                heuristics.smooth_events([e for e in group if not e.linked], smooth_radius)
+            groups = heuristics.split_broken_groups(groups)
+        else:
+            heuristics.fix_near_borders(events)
+            heuristics.smooth_events([e for e in events if not e.linked], smooth_radius)
+            groups = heuristics.detect_groups(events)
+
+        if plot:
+            plot.add([e.shift for e in events], "Borders fixed")
+
+        for group in groups:
+            start_shift, end_shift = group[0].shift, group[-1].shift
+            average = heuristics.average_shifts(group)
+            _log.info(
+                "Group (start: %s, end: %s, lines: %d), shifts (start: %s, end: %s, average: %s)",
+                _fmt_time(group[0].start),
+                _fmt_time(group[-1].end),
+                len(group),
+                start_shift,
+                end_shift,
+                average,
+            )
+
+        if kf_data:
+            for event in (e for e in events if e.linked):
+                event.resolve_link()
+            for group in groups:
+                snapping.snap_groups_to_keyframes(
+                    group,
+                    chapter_times,
+                    max_ts_duration,
+                    max_ts_distance,
+                    kf_data.src_keytimes,
+                    kf_data.dst_keytimes,
+                    kf_data.src_timecodes,
+                    kf_data.dst_timecodes,
+                    max_kf_distance,
+                    kf_mode,
+                )
+    else:
+        heuristics.fix_near_borders(events)
+        if plot:
+            plot.add([e.shift for e in events], "Borders fixed")
+        if kf_data:
+            for event in (e for e in events if e.linked):
+                event.resolve_link()
+            snapping.snap_groups_to_keyframes(
+                events,
+                chapter_times,
+                max_ts_duration,
+                max_ts_distance,
+                kf_data.src_keytimes,
+                kf_data.dst_keytimes,
+                kf_data.src_timecodes,
+                kf_data.dst_timecodes,
+                max_kf_distance,
+                kf_mode,
+            )
+
+
 def run(args) -> None:
     ignore_chapters = args.chapters_file is not None and args.chapters_file.lower() == "none"
 
@@ -223,69 +317,21 @@ def run(args) -> None:
         if plot:
             plot.add([e.shift for e in events], "From audio")
 
-        if args.grouping:
-            if not ignore_chapters and chapter_times:
-                groups = heuristics.groups_from_chapters(events, chapter_times)
-                for group in groups:
-                    heuristics.fix_near_borders(group)
-                    heuristics.smooth_events([e for e in group if not e.linked], args.smooth_radius)
-                groups = heuristics.split_broken_groups(groups)
-            else:
-                heuristics.fix_near_borders(events)
-                heuristics.smooth_events([e for e in events if not e.linked], args.smooth_radius)
-                groups = heuristics.detect_groups(events)
-
-            if plot:
-                plot.add([e.shift for e in events], "Borders fixed")
-
-            for group in groups:
-                start_shift, end_shift = group[0].shift, group[-1].shift
-                average = heuristics.average_shifts(group)
-                _log.info(
-                    "Group (start: %s, end: %s, lines: %d), shifts (start: %s, end: %s, average: %s)",
-                    _fmt_time(group[0].start),
-                    _fmt_time(group[-1].end),
-                    len(group),
-                    start_shift,
-                    end_shift,
-                    average,
-                )
-
-            if args.src_keyframes:
-                for event in (e for e in events if e.linked):
-                    event.resolve_link()
-                for group in groups:
-                    snapping.snap_groups_to_keyframes(
-                        group,
-                        chapter_times,
-                        args.max_ts_duration,
-                        args.max_ts_distance,
-                        src_keytimes,
-                        dst_keytimes,
-                        src_timecodes,
-                        dst_timecodes,
-                        args.max_kf_distance,
-                        args.kf_mode,
-                    )
-        else:
-            heuristics.fix_near_borders(events)
-            if plot:
-                plot.add([e.shift for e in events], "Borders fixed")
-            if args.src_keyframes:
-                for event in (e for e in events if e.linked):
-                    event.resolve_link()
-                snapping.snap_groups_to_keyframes(
-                    events,
-                    chapter_times,
-                    args.max_ts_duration,
-                    args.max_ts_distance,
-                    src_keytimes,
-                    dst_keytimes,
-                    src_timecodes,
-                    dst_timecodes,
-                    args.max_kf_distance,
-                    args.kf_mode,
-                )
+        kf_data = None
+        if args.src_keyframes:
+            kf_data = KeyframeData(src_keytimes, dst_keytimes, src_timecodes, dst_timecodes)
+        postprocess_events(
+            events,
+            chapter_times=[] if ignore_chapters else chapter_times,
+            grouping=args.grouping,
+            smooth_radius=args.smooth_radius,
+            kf_data=kf_data,
+            max_ts_duration=args.max_ts_duration,
+            max_ts_distance=args.max_ts_distance,
+            max_kf_distance=args.max_kf_distance,
+            kf_mode=args.kf_mode,
+            plot=plot,
+        )
 
         for event in events:
             event.apply_shift()

@@ -11,6 +11,15 @@ the TPU sees a few large dispatches regardless of season size.  Stream
 buffers are quantized to shared shapes, letting all episodes reuse the
 same compiled executables.
 
+Scaling note: each merged round fetches once for every episode active in
+that round, so an episode that needs many rounds (rewind escalation on
+broken audio) adds round-trips only for itself once its round-mates have
+converged and dropped out of the loop — but episodes that are mid-flight
+simultaneously do share fetch latency with the slowest member of their
+round.  At season scale this costs at most a few extra RTTs per
+pathological episode; decoupling further (per-episode fetch streams)
+would trade that for one RTT per episode per round.
+
 Usage:
     python -m sushi_tpu.season jobs.json [--sample-rate N] [--window N] ...
 
@@ -33,7 +42,6 @@ from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
-from sushi_tpu.align import heuristics
 from sushi_tpu.align.batcher import DeviceMatcher, SearchSession, execute_planned_multi
 from sushi_tpu.align.groups import prepare_search_groups
 from sushi_tpu.errors import SushiError
@@ -53,6 +61,16 @@ class SeasonJob:
     output: str
     src_audio_idx: Optional[int] = None
     dst_audio_idx: Optional[int] = None
+    # full per-job post-processing options (parity with the single-episode
+    # pipeline): explicit chapter / keyframe / timecode files or fps.
+    # chapters_file "none" ignores container chapters, like the CLI.
+    chapters_file: Optional[str] = None
+    src_keyframes: Optional[str] = None
+    dst_keyframes: Optional[str] = None
+    src_timecodes: Optional[str] = None
+    dst_timecodes: Optional[str] = None
+    src_fps: Optional[float] = None
+    dst_fps: Optional[float] = None
 
 
 @dataclass
@@ -66,6 +84,56 @@ class _Episode:
     demuxers: List[Demuxer]
     prepared_seconds: float
     chapter_times: List[float]
+    kf_data: Optional[object]  # pipeline.KeyframeData
+
+
+def _job_keyframe_data(job: SeasonJob):
+    """Per-job keyframe-snapping inputs, pipeline-parity validation.
+
+    Season jobs take explicit keyframe/timecode files (or fps) —
+    'auto'/'make' keyframe generation needs the per-episode demux flow and
+    is a single-episode pipeline feature.
+    """
+    if not job.src_keyframes and not job.dst_keyframes:
+        return None
+    if bool(job.src_keyframes) != bool(job.dst_keyframes):
+        raise SushiError("Either none or both of src and dst keyframes should be provided")
+    if (job.src_timecodes and job.src_fps) or (job.dst_timecodes and job.dst_fps):
+        raise SushiError("Both fps and timecodes file cannot be specified at the same time")
+    from sushi_tpu.media.timecodes import Timecodes
+    from sushi_tpu.pipeline import KeyframeData
+    from sushi_tpu.text import keyframes as keyframes_mod
+
+    def side(kf_file, tc_file, fps):
+        if kf_file in ("auto", "make"):
+            raise SushiError(
+                "season jobs need explicit keyframe files "
+                "('auto'/'make' generation is for the single-episode CLI)"
+            )
+        if not tc_file and not fps:
+            raise SushiError("Fps or timecodes file must be provided when keyframes are used")
+        timecodes = Timecodes.cfr(fps) if fps else Timecodes.from_file(tc_file)
+        keytimes = [timecodes.get_frame_time(f) for f in keyframes_mod.parse_keyframes(kf_file)]
+        return keytimes, timecodes
+
+    src_keytimes, src_timecodes = side(job.src_keyframes, job.src_timecodes, job.src_fps)
+    dst_keytimes, dst_timecodes = side(job.dst_keyframes, job.dst_timecodes, job.dst_fps)
+    return KeyframeData(src_keytimes, dst_keytimes, src_timecodes, dst_timecodes)
+
+
+def _job_chapter_times(job: SeasonJob, src_demuxer: Optional[Demuxer]) -> List[float]:
+    """Chapter starts: explicit file > container chapters; 'none' ignores."""
+    from sushi_tpu.text import chapters as chapters_mod
+
+    if job.chapters_file:
+        if job.chapters_file.lower() == "none":
+            return []
+        if get_extension(job.chapters_file) == ".xml":
+            return chapters_mod.get_xml_start_times(job.chapters_file)
+        return chapters_mod.get_ogm_start_times(job.chapters_file)
+    if src_demuxer is not None:
+        return list(src_demuxer.chapters)
+    return []
 
 
 def load_jobs(path: str) -> List[SeasonJob]:
@@ -84,6 +152,13 @@ def load_jobs(path: str) -> List[SeasonJob]:
                     entry["output"],
                     entry.get("src_audio_idx"),
                     entry.get("dst_audio_idx"),
+                    entry.get("chapters_file"),
+                    entry.get("src_keyframes"),
+                    entry.get("dst_keyframes"),
+                    entry.get("src_timecodes"),
+                    entry.get("dst_timecodes"),
+                    entry.get("src_fps"),
+                    entry.get("dst_fps"),
                 )
             )
         except (TypeError, KeyError):
@@ -177,6 +252,7 @@ def _prepare_episode(
     max_ts_distance: float,
     temp_dir: Optional[str],
     registry: Optional[_DemuxRegistry] = None,
+    grouping: bool = True,
 ) -> _Episode:
     """Demux + ingest + seed one episode (runs on an ingest thread)."""
     started = time.time()
@@ -192,13 +268,15 @@ def _prepare_episode(
     if dst_demuxer is not None:
         demuxers.append(dst_demuxer)
 
+    kf_data = _job_keyframe_data(job)
     script = load_script(job.script)
     script.sort_by_time()
     src_stream, dst_stream = load_pair(src_audio, dst_audio, sample_rate, sample_type)
-    # container sources carry chapters; grouping must honor them like the
-    # single-episode pipeline (typesetting merges are chapter-bounded and
-    # post-processing averages per chapter group, pipeline.py:119-132,227)
-    chapter_times = list(src_demuxer.chapters) if src_demuxer is not None else []
+    # chapters: explicit per-job file wins, else container chapters —
+    # grouping must honor them like the single-episode pipeline
+    # (typesetting merges are chapter-bounded and post-processing averages
+    # per chapter group, pipeline.py:119-132,227)
+    chapter_times = _job_chapter_times(job, src_demuxer) if grouping else []
     groups = prepare_search_groups(
         script.events,
         source_duration=src_stream.duration_seconds,
@@ -215,7 +293,7 @@ def _prepare_episode(
         groups,
         window,
         max_window,
-        rewind_thresh,
+        rewind_thresh if grouping else 0,
         delta0=matcher.global_alignment_estimate(),
     )
     return _Episode(
@@ -228,25 +306,38 @@ def _prepare_episode(
         demuxers=demuxers,
         prepared_seconds=time.time() - started,
         chapter_times=chapter_times,
+        kf_data=kf_data,
     )
 
 
-def _finish_episode(episode: _Episode, smooth_radius: int) -> None:
+def _finish_episode(
+    episode: _Episode,
+    smooth_radius: int,
+    grouping: bool,
+    max_ts_duration: float,
+    max_ts_distance: float,
+    max_kf_distance,
+    kf_mode: str,
+) -> None:
+    """Finalize one episode with the pipeline's FULL post-processing
+    (border repair, smoothing, group averaging, keyframe snapping) — the
+    exact shared code path, so a season job with the same options writes
+    byte-identical output to a single pipeline run."""
+    from sushi_tpu.pipeline import postprocess_events
+
     episode.session.finalize()
     events = episode.script.events
-    if episode.chapter_times:
-        # chapter-aware post-processing, same order as pipeline.py:227-234
-        groups = heuristics.groups_from_chapters(events, episode.chapter_times)
-        for group in groups:
-            heuristics.fix_near_borders(group)
-            heuristics.smooth_events([e for e in group if not e.linked], smooth_radius)
-        groups = heuristics.split_broken_groups(groups)
-    else:
-        heuristics.fix_near_borders(events)
-        heuristics.smooth_events([e for e in events if not e.linked], smooth_radius)
-        groups = heuristics.detect_groups(events)
-    for group in groups:
-        heuristics.average_shifts(group)
+    postprocess_events(
+        events,
+        chapter_times=episode.chapter_times,
+        grouping=grouping,
+        smooth_radius=smooth_radius,
+        kf_data=episode.kf_data,
+        max_ts_duration=max_ts_duration,
+        max_ts_distance=max_ts_distance,
+        max_kf_distance=max_kf_distance,
+        kf_mode=kf_mode,
+    )
     for event in events:
         event.apply_shift()
     episode.script.save_to_file(episode.job.output)
@@ -267,6 +358,9 @@ def sync_season(
     temp_dir: Optional[str] = None,
     cleanup: bool = False,
     max_rounds: int = 10000,
+    grouping: bool = True,
+    max_kf_distance: float = 2,
+    kf_mode: str = "all",
 ) -> List[Tuple[SeasonJob, str]]:
     """Sync every job; returns [(job, error message)] for jobs that failed.
 
@@ -276,9 +370,25 @@ def sync_season(
     enable_compile_cache()
 
     for job in jobs:
-        for path, title in ((job.src, "Source"), (job.dst, "Destination"), (job.script, "Script")):
-            if not os.path.exists(path):
+        checks = [
+            (job.src, "Source"), (job.dst, "Destination"), (job.script, "Script"),
+            (job.src_timecodes, "Source timecodes"),
+            (job.dst_timecodes, "Destination timecodes"),
+        ]
+        for kf, title in (
+            (job.src_keyframes, "Source keyframes"),
+            (job.dst_keyframes, "Destination keyframes"),
+        ):
+            if kf not in (None, "auto", "make"):  # auto/make rejected later with a clear error
+                checks.append((kf, title))
+        if job.chapters_file and job.chapters_file.lower() != "none":
+            checks.append((job.chapters_file, "Chapters"))
+        for path, title in checks:
+            if path and not os.path.exists(path):
                 raise SushiError("{0} file doesn't exist: {1}".format(title, path))
+        # keyframe/timecode option consistency fails fast (pipeline parity),
+        # not as a mid-run per-episode failure
+        _job_keyframe_data(job)
     if temp_dir and not os.path.exists(temp_dir):
         os.makedirs(temp_dir)
 
@@ -303,6 +413,7 @@ def sync_season(
                 max_ts_distance,
                 temp_dir,
                 registry,
+                grouping,
             ): job
             for index, job in enumerate(jobs)
         }
@@ -340,7 +451,11 @@ def sync_season(
                     requests = episode.session.replay()
                     if not requests:
                         try:
-                            _finish_episode(episode, smooth_radius)
+                            _finish_episode(
+                                episode, smooth_radius, grouping,
+                                max_ts_duration, max_ts_distance,
+                                max_kf_distance, kf_mode,
+                            )
                             synced += 1
                         except Exception as error:
                             _log.error(
@@ -394,6 +509,10 @@ def main(argv: Optional[List[str]] = None) -> None:
     parser.add_argument("--max-window", default=30, type=int, dest="max_window")
     parser.add_argument("--rewind-thresh", default=5, type=int, dest="rewind_thresh")
     parser.add_argument("--smooth-radius", default=3, type=int, dest="smooth_radius")
+    parser.add_argument("--no-grouping", action="store_false", dest="grouping",
+                        help="disable grouping/smoothing post-processing (like the CLI flag)")
+    parser.add_argument("--max-kf-distance", default=2, type=float, dest="max_kf_distance")
+    parser.add_argument("--kf-mode", default="all", choices=["shift", "snap", "all"], dest="kf_mode")
     parser.add_argument("--io-threads", default=4, type=int, dest="io_threads")
     parser.add_argument("--temp-dir", default=None, dest="temp_dir")
     parser.add_argument("--cleanup", action="store_true", help="remove demuxed audio afterwards")
@@ -413,6 +532,9 @@ def main(argv: Optional[List[str]] = None) -> None:
             io_threads=args.io_threads,
             temp_dir=args.temp_dir,
             cleanup=args.cleanup,
+            grouping=args.grouping,
+            max_kf_distance=args.max_kf_distance,
+            kf_mode=args.kf_mode,
         )
         if failures:
             sys.exit(2)

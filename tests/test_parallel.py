@@ -72,3 +72,55 @@ def test_training_step_sharded(mesh8):
     scores, lags = step(*args)
     assert scores.shape == (4,)
     assert float(np.max(np.asarray(scores))) < 1e-3
+
+
+def test_execute_planned_shards_over_production_mesh():
+    """With >1 visible device (the conftest 8-CPU mesh) execute_planned
+    must auto-shard chunk rows over the ('dp',) production mesh and still
+    return oracle-exact results."""
+    import jax.numpy as jnp
+
+    from sushi_tpu.align import batcher
+    from sushi_tpu.ops.sqdiff import oracle_match
+
+    mesh = batcher.production_mesh()
+    assert mesh is not None and mesh.shape["dp"] >= 2
+
+    rng = np.random.RandomState(7)
+    dst_host = rng.rand(40960).astype(np.float32)
+    src_host = np.zeros(40960, np.float32)
+    planned = []
+    for i in range(5):
+        pat_len = 300 + 17 * i
+        lag = 2000 + 5000 * i
+        src_host[i * 4000 : i * 4000 + pat_len] = dst_host[lag : lag + pat_len]
+        planned.append(
+            batcher.PlannedSearch(
+                key=i, pat_start=i * 4000, pat_len=pat_len,
+                win_start=max(0, lag - 700), win_len=2500,
+                start_time=0.0, sample_rate=12000,
+            )
+        )
+    src_dev = batcher._replicate_on_mesh(jnp.asarray(np.pad(src_host, (0, 8192))))
+    dst_dev = batcher._replicate_on_mesh(jnp.asarray(np.pad(dst_host, (0, 8192))))
+    results = batcher.execute_planned(src_dev, dst_dev, planned)
+    assert batcher._SHARDED_MATCH, "sharded kernel cache empty — mesh path not taken"
+    for item in planned:
+        _, _, abs_sample = results[item.key]
+        pattern = src_host[item.pat_start : item.pat_start + item.pat_len]
+        window = dst_host[item.win_start : item.win_start + item.win_len]
+        _, oracle_lag = oracle_match(pattern, window)
+        assert abs((abs_sample - item.win_start) - oracle_lag) <= 1
+
+
+def test_mesh_disabled_by_env(monkeypatch):
+    from sushi_tpu.align import batcher
+
+    monkeypatch.setattr(batcher, "_MESH_STATE", [])
+    monkeypatch.setenv("SUSHI_MESH", "off")
+    assert batcher.production_mesh() is None
+    monkeypatch.setattr(batcher, "_MESH_STATE", [])
+    monkeypatch.setenv("SUSHI_MESH", "2")
+    mesh = batcher.production_mesh()
+    assert mesh is not None and mesh.devices.size == 2
+    monkeypatch.setattr(batcher, "_MESH_STATE", [])  # leave unprobed for other tests

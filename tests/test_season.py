@@ -217,3 +217,72 @@ def test_season_same_basename_containers_do_not_collide(tmp_path, fake_ffmpeg):
     result = SrtScript.from_file(out)
     for event, (start, _) in zip(result.events, EVENTS):
         assert event.start == pytest.approx(start + shift, abs=2e-3)
+
+
+def test_season_keyframe_jobs_byte_identical_to_pipeline(tmp_path):
+    """VERDICT r2 #4: per-job keyframes/fps run the pipeline's FULL
+    post-processing (snapping included) — a 2-episode season must write
+    byte-identical outputs to two single pipeline runs."""
+    from tests.test_keyframes_e2e import write_scxvid_log
+    from tests.test_pipeline import run_cli
+
+    fps = 24.0
+    shifts = [2.505, 1.25]
+    jobs = []
+    for i, shift in enumerate(shifts):
+        audio = synth_episode(18.0, EVENTS, seed=70 + i)
+        rng = np.random.RandomState(75 + i)
+        dst_audio = shift_audio(audio, shift)
+        dst_audio = (dst_audio.astype(np.int32) + rng.randint(-150, 150, len(dst_audio))).astype(np.int16)
+        src = str(tmp_path / f"kf{i}.src.wav")
+        dst = str(tmp_path / f"kf{i}.dst.wav")
+        script = str(tmp_path / f"kf{i}.srt")
+        write_wav_int16(src, audio)
+        write_wav_int16(dst, dst_audio)
+        write_srt(script, [(s, e, f"ep{i} line") for s, e in EVENTS])
+        src_kf = str(tmp_path / f"kf{i}.src.kf.txt")
+        dst_kf = str(tmp_path / f"kf{i}.dst.kf.txt")
+        write_scxvid_log(src_kf, [int(round(s * fps)) for s, _ in EVENTS], int(18 * fps))
+        write_scxvid_log(dst_kf, [int(round((s + shift) * fps)) + 1 for s, _ in EVENTS], int(25 * fps))
+        jobs.append(
+            SeasonJob(
+                src, dst, script, str(tmp_path / f"kf{i}.season.srt"),
+                src_keyframes=src_kf, dst_keyframes=dst_kf,
+                src_fps=fps, dst_fps=fps,
+            )
+        )
+
+    failures = sync_season(jobs, io_threads=2)
+    assert failures == []
+
+    for i, job in enumerate(jobs):
+        single_out = str(tmp_path / f"kf{i}.single.srt")
+        run_cli(
+            [
+                "--src", job.src, "--dst", job.dst, "--script", job.script,
+                "-o", single_out,
+                "--src-keyframes", job.src_keyframes,
+                "--dst-keyframes", job.dst_keyframes,
+                "--src-fps", str(fps), "--dst-fps", str(fps),
+            ]
+        )
+        with open(job.output, "rb") as season_handle, open(single_out, "rb") as single_handle:
+            assert season_handle.read() == single_handle.read(), job.output
+        # sanity: snapping actually moved starts onto the nudged keyframes
+        result = SrtScript.from_file(job.output)
+        for event, (start, _) in zip(result.events, EVENTS):
+            expected = (int(round((start + shifts[i]) * fps)) + 1) / fps
+            assert event.start == pytest.approx(expected, abs=5e-3)
+
+
+def test_season_job_keyframe_validation(tmp_path, season):
+    _, jobs = season
+    base = jobs[0]
+    one_sided = SeasonJob(base.src, base.dst, base.script, str(tmp_path / "x.srt"),
+                          src_keyframes=base.script)  # any existing file
+    with pytest.raises(SushiError, match="none or both"):
+        sync_season([one_sided])
+    auto = SeasonJob(base.src, base.dst, base.script, str(tmp_path / "x.srt"),
+                     src_keyframes="auto", dst_keyframes="auto")
+    with pytest.raises(SushiError, match="explicit keyframe"):
+        sync_season([auto])

@@ -260,3 +260,54 @@ class TestPlateauTieBreak:
         score, lag = self._match(pattern, window, n)
         assert lag == c_lag == 0
         assert score == pytest.approx(c_score, abs=1e-5)
+
+
+def test_pooled_coarse_optin_matches_cv2_on_broadband():
+    """The opt-in pooled coarse-to-fine mode (SUSHI_COARSE_POOL): pooled
+    candidate regions + full-rate exact refinement must still return cv2's
+    lag on broadband audio (the regime the mode is gated to; see the
+    measured-reject note in batcher._coarse_pool_for)."""
+    rng = np.random.RandomState(21)
+    n, pat_cap = 16384, 4096
+    for trial in range(6):
+        pat_len = rng.randint(900, 4000)
+        win_len = rng.randint(pat_len + 2000, n)
+        base = rng.rand(win_len).astype(np.float32)
+        true_lag = rng.randint(0, win_len - pat_len + 1)
+        pattern = base[true_lag : true_lag + pat_len] + rng.randn(pat_len).astype(np.float32) * 0.01
+        pat = np.zeros((1, n), np.float32)
+        pat[0, :pat_len] = pattern
+        win = np.zeros((1, n), np.float32)
+        win[0, :win_len] = base
+        c_score, c_lag = cv2_match(pattern, base)
+        score, lag = match_padded(
+            jnp.asarray(pat), jnp.asarray(np.array([pat_len], np.int32)),
+            jnp.asarray(win), jnp.asarray(np.array([win_len], np.int32)),
+            fft_size=n, coarse_pool=8, pat_cap=pat_cap,
+        )
+        assert int(lag[0]) == c_lag
+        assert float(score[0]) == pytest.approx(c_score, abs=1e-5)
+
+
+def test_sliding_energy_precision_vs_float64():
+    """The compensated-cumsum sliding energy (which replaced the boxcar
+    FFT's 2 extra transforms) must track the float64 oracle to ~f32
+    rounding: abs error <= 1.5e-6 + 3e-7 * E (the 1.5e-6 floor is the
+    within-block f32 prefix at 64-sample blocks; the relative term is the
+    f32 representation of E itself)."""
+    from sushi_tpu.ops.sqdiff import sliding_energy
+
+    rng = np.random.RandomState(3)
+    for n in (4096, 6144, 16384):
+        win = np.zeros((2, n), np.float32)
+        lens = []
+        for b in range(2):
+            wl = rng.randint(n // 2, n)
+            win[b, :wl] = rng.rand(wl)
+            lens.append(rng.randint(50, n // 2))
+        E = np.asarray(sliding_energy(jnp.asarray(win), jnp.asarray(np.array(lens, np.int32))))
+        for b in range(2):
+            cumsq = np.concatenate([[0.0], np.cumsum(win[b].astype(np.float64) ** 2)])
+            exact = cumsq[np.minimum(np.arange(n) + lens[b], n)] - cumsq[:n]
+            err = np.abs(E[b] - exact)
+            assert np.all(err <= 1.5e-6 + 3e-7 * exact), (n, b, err.max())

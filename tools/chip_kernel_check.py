@@ -87,6 +87,42 @@ def main() -> int:
             % (n, lp, pat_cap, en.max(), ee.max(), "ok" if ok else "MISMATCH"),
             file=sys.stderr,
         )
+
+    # end-to-end compiled match (coarse FFT + compensated-cumsum energy +
+    # candidate selection + rescore) vs the float64 host oracle, incl. the
+    # opt-in pooled coarse mode — catches lowering bugs anywhere in the
+    # full kernel, not just the rescore
+    from sushi_tpu.ops.sqdiff import match_padded, oracle_match
+
+    for n, pool in ((24576, None), (98304, None), (98304, 8)):
+        batch = 4
+        patterns = np.zeros((batch, n), np.float32)
+        windows = np.zeros((batch, n), np.float32)
+        pat_lens = np.zeros(batch, np.int32)
+        win_lens = np.zeros(batch, np.int32)
+        expected = []
+        for b in range(batch):
+            lp = rng.randint(6000, min(20000, n // 3))
+            wl = rng.randint(lp + 4000, n)
+            base = rng.rand(wl).astype(np.float32)
+            true_lag = rng.randint(0, wl - lp)
+            patterns[b, :lp] = base[true_lag : true_lag + lp] + rng.randn(lp).astype(np.float32) * 0.01
+            windows[b, :wl] = base
+            pat_lens[b], win_lens[b] = lp, wl
+            expected.append(oracle_match(patterns[b, :lp], base)[1])
+        scores, lags = match_padded(
+            jnp.asarray(patterns), jnp.asarray(pat_lens),
+            jnp.asarray(windows), jnp.asarray(win_lens),
+            fft_size=n, coarse_pool=pool,
+        )
+        got = [int(v) for v in np.asarray(lags)]
+        ok = all(abs(g - e) <= 1 for g, e in zip(got, expected))
+        failures += 0 if ok else 1
+        print(
+            "chip_kernel_check: match n=%d pool=%s lags %s vs oracle %s %s"
+            % (n, pool, got, expected, "ok" if ok else "MISMATCH"),
+            file=sys.stderr,
+        )
     return 1 if failures else 0
 
 
