@@ -88,6 +88,50 @@ def run_test(test: dict, base: str, enforce_time_budget: bool = True) -> bool:
     return True
 
 
+def run_season_test(test: dict, base: str) -> bool:
+    """Batch-mode regression: one season run over several jobs, each output
+    compared frame-accurately against its ideal with an exact error count
+    (the same contract as the single-episode tests)."""
+    name = test["name"]
+    jobs = []
+    for i, job in enumerate(test["jobs"]):
+        jobs.append(
+            {
+                "src": os.path.join(base, job["src"]),
+                "dst": os.path.join(base, job["dst"]),
+                "script": os.path.join(base, job["script"]),
+                "output": os.path.join(base, "%s.out%d%s" % (
+                    name, i, os.path.splitext(job["script"])[1])),
+            }
+        )
+    jobs_path = os.path.join(base, name + ".jobs.json")
+    with open(jobs_path, "w", encoding="utf-8") as handle:
+        json.dump(jobs, handle)
+    cmd = [sys.executable, "-m", "sushi_tpu.season", jobs_path] + test.get("extra_args", [])
+    logging.info("[%s] %s", name, " ".join(cmd[2:]))
+    started = time.time()
+    code = subprocess.call(cmd, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    elapsed = time.time() - started
+    if code != 0:
+        logging.error("[%s] FAILED: exit code %d", name, code)
+        return False
+    ok = True
+    for job_cfg, job in zip(test["jobs"], jobs):
+        failures = compare_scripts(
+            os.path.join(base, job_cfg["ideal"]), job["output"], test.get("fps", 23.976)
+        )
+        expected = job_cfg.get("expected_errors", 0)
+        if failures != expected:
+            logging.error(
+                "[%s] FAILED on %s: %d line errors, expected exactly %d",
+                name, job_cfg["src"], failures, expected,
+            )
+            ok = False
+    if ok:
+        logging.info("[%s] ok: %d jobs, %.2fs", name, len(jobs), elapsed)
+    return ok
+
+
 def run_wav_test(test: dict, base: str) -> bool:
     from sushi_tpu.media.stream import AudioStream
 
@@ -181,6 +225,16 @@ def make_fixtures(base: str) -> str:
              "script": "ep.srt", "ideal": "ep.jump.ideal.srt", "expected_errors": 0,
              "fps": 23.976},
         ],
+        "season_tests": [
+            # both fixture episodes as one batch: the uniform shift and the
+            # 15s-jump recovery must survive merged device rounds
+            {"name": "season-batch", "fps": 23.976, "jobs": [
+                {"src": "ep.src.wav", "dst": "ep.dst.wav", "script": "ep.srt",
+                 "ideal": "ep.ideal.srt", "expected_errors": 0},
+                {"src": "ep.src.wav", "dst": "ep.jump.wav", "script": "ep.srt",
+                 "ideal": "ep.jump.ideal.srt", "expected_errors": 0},
+            ]},
+        ],
         "wav_tests": [
             {"name": "wav-load-budget", "path": "ep.src.wav", "max_time": 0.7, "max_memory": 120}
         ],
@@ -233,6 +287,11 @@ def main() -> None:
         for test in selected:
             if not run_test(test, base):
                 failed.append(test["name"])
+    for test in config.get("season_tests", []):
+        if args.only and test["name"] != args.only:
+            continue
+        if not run_season_test(test, base):
+            failed.append(test["name"])
     # wav perf/RSS budget tests measure this process's rusage: keep serial
     for test in config.get("wav_tests", []):
         if args.only and test["name"] != args.only:
