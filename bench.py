@@ -323,6 +323,23 @@ def measure_kernel_throughput():
         single = time.time() - t0  # 1*execute + wire
         execute = max((elapsed - single) / (iterations - 1), 1e-9)
 
+        # the same single search through the reference's native engine
+        # (cv2.matchTemplate, DFT path at these sizes) on this host — the
+        # honest apples-to-apples KERNEL ratio: per-search device time vs
+        # per-search cv2 time at identical pattern/window sizes
+        import cv2
+
+        win_np = (
+            np.asarray(stream[: fft_size - 4096]).astype(np.float32).reshape(1, -1) / 255.0
+        )
+        pat_np = win_np[:, 5000 : 5000 + 30000].copy()
+        cv2.matchTemplate(win_np, pat_np, cv2.TM_SQDIFF_NORMED)  # warm
+        t0 = time.time()
+        cv2_iters = 3
+        for _ in range(cv2_iters):
+            cv2.matchTemplate(win_np, pat_np, cv2.TM_SQDIFF_NORMED)
+        cv2_per_search = (time.time() - t0) / cv2_iters
+
         gflop = batch * kernel_flop_model(fft_size, pat_cap) / 1e9
         gathered_gb = batch * fft_size * 2 * 4 / 1e9
         shapes.append(
@@ -335,6 +352,8 @@ def measure_kernel_throughput():
                 "pct_of_bf16_peak": round(100.0 * gflop / execute / _V5E_PEAK_BF16_GFLOPS, 2),
                 "gather_gbps": round(gathered_gb / execute, 1),
                 "pct_of_hbm_peak": round(100.0 * gathered_gb / execute / _V5E_PEAK_HBM_GBPS, 1),
+                "cv2_ms_per_search": round(cv2_per_search * 1e3, 2),
+                "vs_cv2_per_search": round(cv2_per_search / (execute / batch), 1),
             }
         )
         log("bench: kernel-only %s" % json.dumps(shapes[-1]))
@@ -345,31 +364,42 @@ def run_soak(iterations=12):
     """Randomized exactness soak (tools/soak.py) as a driver-visible
     artifact: batched decisions vs the sequential float64 oracle across
     corruption/jump/truncation scenarios, ON THE CHIP.  12 iterations
-    (~1 min each through the relay: every iteration drives the kernel
-    batched AND one-request-at-a-time AND against the host oracle) keeps
-    the bench under budget; longer soaks run standalone
-    (``python tools/soak.py 100``).  Returns (passed, iterations) —
-    (None, 0) when the subprocess could not run."""
+    (~20s each warm: every iteration drives the kernel batched AND
+    one-request-at-a-time AND against the host oracle) keeps the bench
+    under budget; longer soaks run standalone (``python tools/soak.py
+    100``).  A fresh kernel change empties the persistent compile cache
+    and a cold soak can blow the timeout — but everything compiled
+    before the kill IS cached, so the timeout path retries once at
+    fewer iterations against a now-warm cache rather than reporting
+    nothing.  Returns (passed, iterations_run) — (None, 0) only when
+    both attempts failed to complete."""
     import subprocess
 
     repo = os.path.dirname(os.path.abspath(__file__))
-    t0 = time.time()
-    try:
-        result = subprocess.run(
-            [sys.executable, "tools/soak.py", str(iterations)],
-            cwd=repo, capture_output=True, text=True, timeout=2400,
+    for attempt_iters, timeout in ((iterations, 2400), (4, 1500)):
+        t0 = time.time()
+        try:
+            result = subprocess.run(
+                [sys.executable, "tools/soak.py", str(attempt_iters)],
+                cwd=repo, capture_output=True, text=True, timeout=timeout,
+            )
+            passed = result.returncode == 0
+            tail = (result.stderr or result.stdout).strip().splitlines()[-2:]
+        except (subprocess.SubprocessError, OSError) as error:
+            passed, tail = None, [str(error)]
+        for line in tail:
+            log("bench: soak | " + line)
+        log(
+            "bench: soak (%d iters) %s in %.1fs"
+            % (attempt_iters,
+               {True: "PASSED", False: "FAILED", None: "DID NOT RUN"}[passed],
+               time.time() - t0)
         )
-        passed = result.returncode == 0
-        tail = (result.stderr or result.stdout).strip().splitlines()[-2:]
-    except (subprocess.SubprocessError, OSError) as error:
-        passed, tail = None, [str(error)]
-    for line in tail:
-        log("bench: soak | " + line)
-    log(
-        "bench: soak %s in %.1fs"
-        % ({True: "PASSED", False: "FAILED", None: "DID NOT RUN"}[passed], time.time() - t0)
-    )
-    return passed, iterations if passed is not None else 0
+        if passed is not None:
+            return passed, attempt_iters
+        if attempt_iters != 4:
+            log("bench: soak retrying at fewer iterations (compile cache is now part-warm)")
+    return None, 0
 
 
 def run_chip_kernel_check():
@@ -408,7 +438,9 @@ def run_regression():
     env.pop("AXON_LOOPBACK_RELAY", None)
     env["JAX_PLATFORMS"] = "cpu"
     env.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(repo, ".jax_cache"))
-    base = "/tmp/sushi_tpu_regression_v1"
+    # version-suffixed: bump when make_fixtures' config schema changes, or
+    # a cached regression.json from an older round silently skips new tests
+    base = "/tmp/sushi_tpu_regression_v2"
     t0 = time.time()
     try:
         if not os.path.exists(os.path.join(base, "regression.json")):
@@ -642,6 +674,9 @@ def main():
         "kernel_best_gflops": best_kernel.get("gflops", 0.0),
         "kernel_best_pct_of_bf16_peak": best_kernel.get("pct_of_bf16_peak", 0.0),
         "kernel_best_searches_per_second": best_kernel.get("searches_per_second", 0.0),
+        "kernel_vs_cv2_per_search": max(
+            (s.get("vs_cv2_per_search", 0.0) for s in kernel_shapes), default=0.0
+        ),
     }
     print(json.dumps(result), flush=True)
 

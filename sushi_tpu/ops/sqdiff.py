@@ -115,41 +115,53 @@ def sliding_energy(windows: jnp.ndarray, pat_lens: jnp.ndarray) -> jnp.ndarray:
 
     Replaces the analytic-boxcar FFT formulation (2 of the coarse pass's 5
     length-n transforms, measured ~40% of coarse time on a v5e) with O(n)
-    elementwise work: within-block f32 prefixes (block = 256 samples, so
-    the f32 error is relative to one block) + a two-float compensated
-    scan over block totals (so the block-prefix difference is accurate
-    relative to the window, not the stream).  ``windows`` must be
-    zero-padded past ``win_len``, which makes E(u) for spans past the
-    buffer equal the truncated sum, exactly like the boxcar version.
+    elementwise work: within-block f32 prefixes (so the f32 error is
+    relative to one block) + a two-float compensated scan over block
+    totals (so the block-prefix difference is accurate relative to the
+    window, not the stream).  ``windows`` must be zero-padded past
+    ``win_len``, which makes E(u) for spans past the buffer equal the
+    truncated sum, exactly like the boxcar version.
+
+    Lowering note: E(u) = P(u + pat_len) - P(u) looks like a gather, and
+    an earlier take_along_axis formulation measured 20x SLOWER than the
+    boxcar FFTs it replaced — per-element gathers are pathological on
+    TPU.  But the indices are structured: P at every position is a
+    block-repeat plus a one-sample shift (pure elementwise), and
+    "+ pat_len" is one dynamic_slice per row from an edge-extended
+    buffer.  No gathers anywhere.
     """
     batch, n = windows.shape
+    block = _ENERGY_BLOCK
     sq = windows * windows
-    blocks = sq.reshape(batch, n // _ENERGY_BLOCK, _ENERGY_BLOCK)
-    inblock = jnp.cumsum(blocks, axis=2)
-    prefix_hi, prefix_lo = _two_float_scan(inblock[:, :, -1])
-    # pad so block index 0 maps to an exact zero prefix
+    inblock = jnp.cumsum(sq.reshape(batch, n // block, block), axis=2)
+    prefix_hi, prefix_lo = _two_float_scan(inblock[:, :, -1])  # inclusive, per block
     zeros = jnp.zeros((batch, 1), jnp.float32)
-    prefix_hi = jnp.concatenate([zeros, prefix_hi], axis=1)
-    prefix_lo = jnp.concatenate([zeros, prefix_lo], axis=1)
+    excl_hi = jnp.concatenate([zeros, prefix_hi[:, :-1]], axis=1)  # blocks strictly before
+    excl_lo = jnp.concatenate([zeros, prefix_lo[:, :-1]], axis=1)
+
+    # P(x) for x in [0, n] as (hi, lo) arrays of length n+1:
+    #   P(x) = excl_prefix[block(x)] + inblock[x-1], zero at block starts
+    base_hi = jnp.repeat(excl_hi, block, axis=1)
+    base_lo = jnp.repeat(excl_lo, block, axis=1)
     inblock_flat = inblock.reshape(batch, n)
+    shifted = jnp.concatenate([zeros, inblock_flat[:, :-1]], axis=1)
+    frac = jnp.where((jnp.arange(n, dtype=jnp.int32) % block == 0)[None, :], 0.0, shifted)
+    p_hi = jnp.concatenate([base_hi, prefix_hi[:, -1:]], axis=1)
+    p_lo = jnp.concatenate([base_lo + frac, prefix_lo[:, -1:]], axis=1)
 
-    def prefix_at(x):
-        """P(x) = sum sq[0:x] as (hi, lo); x in [0, n]."""
-        block = x // _ENERGY_BLOCK
-        rem = x - block * _ENERGY_BLOCK
-        hi = jnp.take_along_axis(prefix_hi, block, axis=1)
-        lo = jnp.take_along_axis(prefix_lo, block, axis=1)
-        frac = jnp.where(
-            rem > 0,
-            jnp.take_along_axis(inblock_flat, jnp.maximum(x - 1, 0), axis=1),
-            0.0,
+    # edge-extend so a per-row shift by pat_len (<= n) stays in range;
+    # values past x = n stay P(n), which IS the min(u + pat_len, n) clamp
+    p_hi = jnp.pad(p_hi, ((0, 0), (0, n - 1)), mode="edge")
+    p_lo = jnp.pad(p_lo, ((0, 0), (0, n - 1)), mode="edge")
+
+    def at_shift(hi, lo, start):
+        return (
+            jax.lax.dynamic_slice(hi, (start,), (n,)),
+            jax.lax.dynamic_slice(lo, (start,), (n,)),
         )
-        return hi, lo + frac
 
-    u = jnp.arange(n, dtype=jnp.int32)[None, :]
-    x2 = jnp.minimum(u + pat_lens[:, None], n)
-    hi2, lo2 = prefix_at(x2)
-    hi1, lo1 = prefix_at(u)
+    hi2, lo2 = jax.vmap(at_shift)(p_hi, p_lo, pat_lens)
+    hi1, lo1 = p_hi[:, :n], p_lo[:, :n]
     return jnp.maximum((hi2 - hi1) + (lo2 - lo1), 0.0)
 
 
