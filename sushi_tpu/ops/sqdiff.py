@@ -33,6 +33,7 @@ OpenCV semantics reproduced (verified empirically against cv2):
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -109,7 +110,9 @@ def _two_float_scan(values: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     )
 
 
-def sliding_energy(windows: jnp.ndarray, pat_lens: jnp.ndarray) -> jnp.ndarray:
+def sliding_energy(
+    windows: jnp.ndarray, pat_lens: jnp.ndarray, pat_cap: Optional[int] = None
+) -> jnp.ndarray:
     """Exact sliding pattern-length energy E(u) = sum_{i<pat_len} S[u+i]^2
     for every lag u, via a two-level compensated cumulative sum.
 
@@ -133,7 +136,16 @@ def sliding_energy(windows: jnp.ndarray, pat_lens: jnp.ndarray) -> jnp.ndarray:
     batch, n = windows.shape
     block = _ENERGY_BLOCK
     sq = windows * windows
-    inblock = jnp.cumsum(sq.reshape(batch, n // block, block), axis=2)
+    # in-block inclusive prefix as a lower-triangular matmul: the MXU does
+    # the O(block^2) flops for free, where a cumsum over a size-64 minor
+    # axis lowers to a windowed reduction (measured ~10x the HBM-traffic
+    # floor for the whole energy stage).  HIGHEST keeps f32 semantics.
+    tri = jnp.triu(jnp.ones((block, block), jnp.float32))
+    inblock = jax.lax.dot_general(
+        sq.reshape(batch, n // block, block), tri,
+        (((2,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
     prefix_hi, prefix_lo = _two_float_scan(inblock[:, :, -1])  # inclusive, per block
     zeros = jnp.zeros((batch, 1), jnp.float32)
     excl_hi = jnp.concatenate([zeros, prefix_hi[:, :-1]], axis=1)  # blocks strictly before
@@ -149,10 +161,13 @@ def sliding_energy(windows: jnp.ndarray, pat_lens: jnp.ndarray) -> jnp.ndarray:
     p_hi = jnp.concatenate([base_hi, prefix_hi[:, -1:]], axis=1)
     p_lo = jnp.concatenate([base_lo + frac, prefix_lo[:, -1:]], axis=1)
 
-    # edge-extend so a per-row shift by pat_len (<= n) stays in range;
-    # values past x = n stay P(n), which IS the min(u + pat_len, n) clamp
-    p_hi = jnp.pad(p_hi, ((0, 0), (0, n - 1)), mode="edge")
-    p_lo = jnp.pad(p_lo, ((0, 0), (0, n - 1)), mode="edge")
+    # edge-extend so a per-row shift by pat_len stays in range; values
+    # past x = n stay P(n), which IS the min(u + pat_len, n) clamp.
+    # ``pat_cap`` (a static bound on every pat_len) trims the extension —
+    # without it the pad doubles the (hi, lo) materialization to 2n
+    pad = min(pat_cap, n) if pat_cap else n - 1
+    p_hi = jnp.pad(p_hi, ((0, 0), (0, pad)), mode="edge")
+    p_lo = jnp.pad(p_lo, ((0, 0), (0, pad)), mode="edge")
 
     def at_shift(hi, lo, start):
         return (
@@ -176,12 +191,15 @@ def coarse_scores(
     windows: jnp.ndarray,
     win_lens: jnp.ndarray,
     fft_size: int,
+    pat_cap: Optional[int] = None,
 ) -> jnp.ndarray:
     """Unclamped normalized-SSD scores for all lags of a padded batch.
 
     patterns/windows: [B, n] float32, zero-padded beyond their lengths.
     Returns [B, n] scores; lags past ``win_len - pat_len`` hold +2.0
-    (worse than any valid score can be after clamping).
+    (worse than any valid score can be after clamping).  ``pat_cap``
+    (static bound on every ``pat_len``) trims the energy stage's
+    edge-extension; correctness requires ``pat_lens <= pat_cap``.
     """
     pat_f = jnp.fft.rfft(patterns, n=fft_size)
     win_f = jnp.fft.rfft(windows, n=fft_size)
@@ -190,7 +208,7 @@ def coarse_scores(
     # the sliding window energy by compensated cumulative sums: O(n)
     # elementwise instead of 2 more length-n transforms (and MORE accurate
     # than the FFT boxcar — no spectral round-trip)
-    energy = sliding_energy(windows, pat_lens)
+    energy = sliding_energy(windows, pat_lens, pat_cap)
 
     pat_energy = jnp.sum(patterns * patterns, axis=1, keepdims=True)
     num = jnp.maximum(pat_energy - 2.0 * corr + energy, 0.0)
@@ -371,9 +389,55 @@ def match_padded_batch(
             patterns, pat_lens, windows, win_lens, fft_size,
             coarse_pool, pool_regions, pool_slack, pat_cap,
         )
-    coarse = coarse_scores(patterns, pat_lens, windows, win_lens, fft_size)
-    candidates = _blockwise_candidates(coarse, rescore_k)
+    candidates = _coarse_candidates_auto(
+        patterns, pat_lens, windows, win_lens, fft_size, rescore_k, pat_cap
+    )
     return _exact_select(patterns, pat_lens, windows, win_lens, candidates, pat_cap)
+
+
+def _coarse_candidates_auto(
+    patterns, pat_lens, windows, win_lens, fft_size, rescore_k, pat_cap,
+    force_fused: Optional[bool] = None,
+):
+    """Candidate lags for the exact rescore: the fused Pallas coarse-post
+    kernel on TPU (energy + scores + block minima + plateau seeds in one
+    VMEM-resident pass — the XLA formulation costs ~10 [B, n]
+    materializations), the XLA ops elsewhere.  ``force_fused`` pins the
+    path for parity tests (True uses interpret mode off-TPU)."""
+    from sushi_tpu.ops import pallas_coarse
+
+    use_fused = (
+        pallas_coarse.coarse_post_supported(fft_size)
+        and os.environ.get("SUSHI_FUSED_COARSE", "1") != "0"
+        if force_fused is None
+        else force_fused
+    )
+    if not use_fused:
+        coarse = coarse_scores(patterns, pat_lens, windows, win_lens, fft_size, pat_cap)
+        return _blockwise_candidates(coarse, rescore_k)
+    on_tpu = jax.default_backend() == "tpu"
+    if force_fused is None and not on_tpu:
+        coarse = coarse_scores(patterns, pat_lens, windows, win_lens, fft_size, pat_cap)
+        return _blockwise_candidates(coarse, rescore_k)
+
+    pat_f = jnp.fft.rfft(patterns, n=fft_size)
+    win_f = jnp.fft.rfft(windows, n=fft_size)
+    corr = jnp.fft.irfft(win_f * jnp.conj(pat_f), n=fft_size)
+    if windows.shape[1] != fft_size:  # callers may pass narrower rows
+        windows = jnp.pad(windows, ((0, 0), (0, fft_size - windows.shape[1])))
+    pat_energy = jnp.sum(patterns * patterns, axis=1)
+    lag_counts = win_lens - pat_lens + 1
+    block_min, block_arg, first_tight, first_loose = pallas_coarse.coarse_post_pallas(
+        corr, windows, pat_lens, lag_counts, pat_energy,
+        pat_cap or fft_size, interpret=not on_tpu,
+    )
+    effective_k = min(rescore_k, block_min.shape[1])
+    _, block_ids = jax.lax.top_k(-block_min, effective_k)  # ties -> lower block
+    block_ids = block_ids.astype(jnp.int32)
+    candidates = block_ids * _LANES + jnp.take_along_axis(block_arg, block_ids, axis=1)
+    return jnp.concatenate(
+        [first_tight[:, None], first_loose[:, None], candidates], axis=1
+    )
 
 
 def _match_pooled(
@@ -411,7 +475,9 @@ def _match_pooled(
     # inside some pooled candidate's neighborhood
     pat_lens_p = jnp.maximum(pat_lens // pool, 1)
     win_lens_p = jnp.maximum(win_lens // pool, pat_lens_p)
-    coarse_p = coarse_scores(pat_p, pat_lens_p, win_p, win_lens_p, pooled_n)
+    # pooled pat_lens are floor'd, so ceil'd pooled cap stays a bound
+    cap_p = min(-(-pat_cap // pool), pooled_n) if pat_cap else None
+    coarse_p = coarse_scores(pat_p, pat_lens_p, win_p, win_lens_p, pooled_n, cap_p)
 
     pooled_cands = _blockwise_candidates(coarse_p, regions)  # [B, regions+2]
     base = pooled_cands * pool - slack * pool

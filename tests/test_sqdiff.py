@@ -292,9 +292,13 @@ def test_pooled_coarse_optin_matches_cv2_on_broadband():
 def test_sliding_energy_precision_vs_float64():
     """The compensated-cumsum sliding energy (which replaced the boxcar
     FFT's 2 extra transforms) must track the float64 oracle to ~f32
-    rounding: abs error <= 1.5e-6 + 3e-7 * E (the 1.5e-6 floor is the
-    within-block f32 prefix at 64-sample blocks; the relative term is the
-    f32 representation of E itself)."""
+    rounding: abs error <= 8e-6 + 4e-7 * E.  The floor is the in-block
+    prefix's f32 rounding, bounded by eps * block_total <= 64 * eps *
+    max_sq ~ 7.7e-6 for [0, 1] inputs (the triangular-matmul prefix's
+    accumulation-order constant; the relative term is the f32
+    representation of E plus the final (hi + lo) combine).  Score impact
+    stays ~5e-7 relative — far inside the 8e-6 plateau nomination band,
+    and decisions are guarded by the exact rescore + soak regardless."""
     from sushi_tpu.ops.sqdiff import sliding_energy
 
     rng = np.random.RandomState(3)
@@ -310,4 +314,4 @@ def test_sliding_energy_precision_vs_float64():
             cumsq = np.concatenate([[0.0], np.cumsum(win[b].astype(np.float64) ** 2)])
             exact = cumsq[np.minimum(np.arange(n) + lens[b], n)] - cumsq[:n]
             err = np.abs(E[b] - exact)
-            assert np.all(err <= 1.5e-6 + 3e-7 * exact), (n, b, err.max())
+            assert np.all(err <= 8e-6 + 4e-7 * exact), (n, b, err.max())

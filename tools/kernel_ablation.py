@@ -70,6 +70,15 @@ def make_variants(fft_size, pat_cap):
         coarse = sqdiff.coarse_scores(pats, pat_lens, wins, win_lens, fft_size)
         return jnp.sum(sqdiff._blockwise_candidates(coarse, 16))
 
+    def stage_fused_candidates(stream, starts, pat_lens, win_lens):
+        pats = _gather(stream, starts, fft_size, pat_lens)
+        wins = _gather(stream, starts, fft_size, win_lens)
+        return jnp.sum(
+            sqdiff._coarse_candidates_auto(
+                pats, pat_lens, wins, win_lens, fft_size, 16, pat_cap
+            )
+        )
+
     def stage_full(stream, starts, pat_lens, win_lens):
         return jnp.sum(
             sqdiff.match_from_streams_packed(
@@ -84,22 +93,28 @@ def make_variants(fft_size, pat_cap):
         ("gather+energy", stage_energy),
         ("gather+coarse(fft+energy+score)", stage_coarse),
         ("gather+coarse+candidates", stage_candidates),
+        ("gather+fused-candidates", stage_fused_candidates),
         ("full(+rescore+select)", stage_full),
     ]
 
 
-def time_variant(fn, args, iterations):
+def time_variant(fn, args, iterations, repeats=3):
+    """Min over repeats: relay contention and queue jitter only ever ADD
+    time, so the min is the honest device-capability number."""
     np.asarray(fn(*args))  # compile + warm
-    t0 = time.time()
-    out = None
-    for _ in range(iterations):
-        out = fn(*args)
-    np.asarray(out)
-    elapsed = time.time() - t0
-    t0 = time.time()
-    np.asarray(fn(*args))
-    single = time.time() - t0
-    return max((elapsed - single) / (iterations - 1), 1e-9)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.time()
+        out = None
+        for _ in range(iterations):
+            out = fn(*args)
+        np.asarray(out)
+        elapsed = time.time() - t0
+        t0 = time.time()
+        np.asarray(fn(*args))
+        single = time.time() - t0
+        best = min(best, max((elapsed - single) / (iterations - 1), 1e-9))
+    return best
 
 
 def main():
@@ -123,12 +138,12 @@ def main():
         execute = time_variant(jax.jit(fn), args, iterations)
         results.append((name, execute))
         print("%-34s %8.2f ms" % (name, execute * 1e3))
+    t = dict(results)
     print("deltas (stage cost = line minus its prefix line):")
-    print("  fft-only        %8.2f ms" % ((results[1][1] - results[0][1]) * 1e3))
-    print("  energy-only     %8.2f ms" % ((results[2][1] - results[0][1]) * 1e3))
-    print("  score-elemwise  %8.2f ms" % ((results[3][1] - results[1][1] - (results[2][1] - results[0][1])) * 1e3))
-    print("  candidates      %8.2f ms" % ((results[4][1] - results[3][1]) * 1e3))
-    print("  rescore+select  %8.2f ms" % ((results[5][1] - results[4][1]) * 1e3))
+    print("  fft-only        %8.2f ms" % ((t["gather+fft"] - t["gather"]) * 1e3))
+    print("  energy-only     %8.2f ms" % ((t["gather+energy"] - t["gather"]) * 1e3))
+    print("  fused-post-fft  %8.2f ms" % ((t["gather+fused-candidates"] - t["gather+fft"]) * 1e3))
+    print("  rescore+select  %8.2f ms" % ((t["full(+rescore+select)"] - t["gather+fused-candidates"]) * 1e3))
 
 
 if __name__ == "__main__":
