@@ -12,7 +12,17 @@ findings this probe produced (v5e, 2026-08-17):
   - batched [2B, n] rfft of patterns||windows is SLOWER than two
     separate rffts (concat HBM traffic) — rejected.
   - irfft costs ~2x rfft at the same size (hermitian reconstruct).
-  - 3-smooth 98304 is ~1.7x the per-point cost of pow2 65536.
+  - 3-smooth 98304 is ~1.7x the per-point cost of pow2 65536, but the
+    per-point cost GROWS with n even at pow2 (131072: rfft 0.149,
+    irfft 0.197 ns/pt vs 65536's 0.122/0.099): three transforms cost
+    3.32 ms at 98304 vs 4.15 ms padded to 131072 — the 3-smooth bucket
+    policy stands (B=64, v5e, 2026-08-17).
+  - half-rate coarse (fold the product spectrum, irfft at n/2 = exact
+    even-lag scores) is structurally unsound here, not just slow: the
+    analysis streams are NN-downsampled (no lowpass), correlation
+    minima are delta-like, so an odd-lag true minimum leaves NO trace
+    at even lags for the nomination to find.  Same failure family as
+    the measured-rejected mean-pooled coarse (SUSHI_COARSE_POOL).
 """
 
 import time
