@@ -249,8 +249,14 @@ def measure_season(src_wav, dst_wav, script, episodes=12):
     elapsed = float("inf")
     for attempt in range(3 if episodes <= 12 else 5):
         t0 = time.time()
-        sync_season(jobs, io_threads=8)
+        failures = sync_season(jobs, io_threads=8)
         took = time.time() - t0
+        if failures:
+            # a partial season must not publish an optimistic timing
+            raise RuntimeError(
+                "season bench: %d/%d episodes failed: %s"
+                % (len(failures), episodes, "; ".join(m for _, m in failures))
+            )
         log("bench: season attempt %d: %.2fs" % (attempt, took))
         elapsed = min(elapsed, took)
     log("bench: season %d episodes in %.2fs (%.1f episodes/min)" % (

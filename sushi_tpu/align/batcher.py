@@ -64,6 +64,18 @@ _BATCH_BUCKETS = (1, 8, 32, 64, 128)
 _MAX_BATCH_ELEMENTS = 1 << 26
 
 
+def _padded_batch(b: int, mesh_devices: int = 1) -> int:
+    """Rows to pad a ``b``-row chunk to: quantize to a batch bucket FIRST,
+    then round up to a device multiple.  (Searching for a bucket already
+    divisible by the device count finds none for counts like 3 or 6, and
+    a per-chunk ceil fallback would compile a fresh executable shape per
+    distinct batch size — this keeps the shape count at
+    ``len(_BATCH_BUCKETS)`` for ANY device count, and is identical to
+    plain bucket quantization on one device.)"""
+    bucket = next((s for s in _BATCH_BUCKETS if s >= b), _BATCH_BUCKETS[-1])
+    return -(-bucket // mesh_devices) * mesh_devices
+
+
 @dataclass
 class RoundStats:
     """Telemetry for one execute_planned call (one device round)."""
@@ -133,7 +145,7 @@ TELEMETRY = Telemetry()
 
 def kernel_flop_model(
     fft_size: int, pat_cap: int = 0, rescore_k: int = 16, coarse_pool: int = 1,
-    pool_regions: int = 8,
+    pool_regions: int = 8, pool_slack: int = 4,
 ) -> float:
     """Model flop per batch ROW of one match kernel call.
 
@@ -148,7 +160,7 @@ def kernel_flop_model(
     coarse_n = max(fft_size // max(coarse_pool, 1), 2)
     coarse = 3 * 2.5 * coarse_n * math.log2(coarse_n) + 14 * fft_size
     if coarse_pool > 1:
-        lags = (pool_regions + 2) * 9 * coarse_pool  # default slack=4 neighborhoods
+        lags = (pool_regions + 2) * (2 * pool_slack + 1) * coarse_pool
     else:
         lags = rescore_k + 2
     return coarse + lags * 4 * (pat_cap or fft_size)
@@ -350,6 +362,16 @@ def _coarse_pool_for(fft_size: int, min_pat_len: int) -> Optional[int]:
     if _COARSE_POOL_ENV <= 1:
         return None
     pool = _COARSE_POOL_ENV
+    if fft_size % pool or (fft_size // pool) % 128:
+        # the pooled kernel reshapes rows to (n//pool, pool) and selects
+        # candidates in 128-lag blocks; a malformed tunable (pool=7, say)
+        # would crash the sync at trace time — ignore it like _env_int
+        # ignores non-integers
+        _log.warning(
+            "SUSHI_COARSE_POOL=%d does not evenly pool a %d-sample bucket; "
+            "running full-rate", pool, fft_size,
+        )
+        return None
     if fft_size < _COARSE_POOL_MIN_FFT:
         return None
     if min_pat_len < _COARSE_POOL_MIN_PAT_BLOCKS * pool:
@@ -760,10 +782,7 @@ def execute_planned_multi(
         for chunk_start in range(0, len(bucket_items), max_b):
             chunk = bucket_items[chunk_start : chunk_start + max_b]
             b = len(chunk)
-            padded_b = next(
-                (s for s in _BATCH_BUCKETS if s >= b and s % mesh_devices == 0),
-                -(-b // mesh_devices) * mesh_devices,
-            )
+            padded_b = _padded_batch(b, mesh_devices)
             rows = chunk + [chunk[0]] * (padded_b - b)
             # static pattern-length bound for the exact rescore: its work is
             # O(pat_cap) per candidate, so bucketing it (same admitted sizes

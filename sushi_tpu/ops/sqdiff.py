@@ -205,6 +205,12 @@ def coarse_scores(
     win_f = jnp.fft.rfft(windows, n=fft_size)
     corr = jnp.fft.irfft(win_f * jnp.conj(pat_f), n=fft_size)
 
+    # callers may pass rows narrower than fft_size (the FFT pads
+    # implicitly, but the cumsum energy is shape-bound — without this the
+    # [B, fft_size] corr and [B, n] energy fail to broadcast)
+    if windows.shape[1] != fft_size:
+        windows = jnp.pad(windows, ((0, 0), (0, fft_size - windows.shape[1])))
+
     # the sliding window energy by compensated cumulative sums: O(n)
     # elementwise instead of 2 more length-n transforms (and MORE accurate
     # than the FFT boxcar — no spectral round-trip)

@@ -87,6 +87,9 @@ class _Episode:
     kf_data: Optional[object]  # pipeline.KeyframeData
 
 
+_UNSET = object()  # "caller did not supply pre-parsed keyframe data"
+
+
 def _job_keyframe_data(job: SeasonJob):
     """Per-job keyframe-snapping inputs, pipeline-parity validation.
 
@@ -94,12 +97,14 @@ def _job_keyframe_data(job: SeasonJob):
     'auto'/'make' keyframe generation needs the per-episode demux flow and
     is a single-episode pipeline feature.
     """
+    # the fps/timecodes conflict is rejected whether or not keyframes are
+    # in play, matching the single-episode pipeline's unconditional check
+    if (job.src_timecodes and job.src_fps) or (job.dst_timecodes and job.dst_fps):
+        raise SushiError("Both fps and timecodes file cannot be specified at the same time")
     if not job.src_keyframes and not job.dst_keyframes:
         return None
     if bool(job.src_keyframes) != bool(job.dst_keyframes):
         raise SushiError("Either none or both of src and dst keyframes should be provided")
-    if (job.src_timecodes and job.src_fps) or (job.dst_timecodes and job.dst_fps):
-        raise SushiError("Both fps and timecodes file cannot be specified at the same time")
     from sushi_tpu.media.timecodes import Timecodes
     from sushi_tpu.pipeline import KeyframeData
     from sushi_tpu.text import keyframes as keyframes_mod
@@ -214,10 +219,14 @@ def _resolve_audio(
         # (reference sushi.py:516-518); a season runs MANY jobs into one
         # temp dir concurrently, where src/dst or two episodes sharing a
         # basename would demux onto each other's audio — disambiguate with
-        # a hash of the absolute path
+        # a hash of the absolute path AND the selected track (the demux
+        # registry dedupes by this path, so two jobs picking different
+        # audio tracks of one container must not share an output)
         import hashlib
 
-        digest = hashlib.sha1(os.path.abspath(path).encode("utf-8")).hexdigest()[:10]
+        digest = hashlib.sha1(
+            ("%s#%r" % (os.path.abspath(path), stream_idx)).encode("utf-8")
+        ).hexdigest()[:10]
         audio_path = os.path.join(
             temp_dir, "%s.%s.sushi.wav" % (os.path.basename(path), digest)
         )
@@ -253,8 +262,13 @@ def _prepare_episode(
     temp_dir: Optional[str],
     registry: Optional[_DemuxRegistry] = None,
     grouping: bool = True,
+    kf_data: object = _UNSET,
 ) -> _Episode:
-    """Demux + ingest + seed one episode (runs on an ingest thread)."""
+    """Demux + ingest + seed one episode (runs on an ingest thread).
+
+    ``kf_data`` carries the validation loop's already-parsed
+    ``KeyframeData`` (keyframe logs can be tens of MB; parse once).
+    """
     started = time.time()
     demuxers = []
     src_audio, src_demuxer = _resolve_audio(
@@ -268,7 +282,8 @@ def _prepare_episode(
     if dst_demuxer is not None:
         demuxers.append(dst_demuxer)
 
-    kf_data = _job_keyframe_data(job)
+    if kf_data is _UNSET:
+        kf_data = _job_keyframe_data(job)
     script = load_script(job.script)
     script.sort_by_time()
     src_stream, dst_stream = load_pair(src_audio, dst_audio, sample_rate, sample_type)
@@ -386,9 +401,10 @@ def sync_season(
         for path, title in checks:
             if path and not os.path.exists(path):
                 raise SushiError("{0} file doesn't exist: {1}".format(title, path))
-        # keyframe/timecode option consistency fails fast (pipeline parity),
-        # not as a mid-run per-episode failure
-        _job_keyframe_data(job)
+    # keyframe/timecode option consistency fails fast (pipeline parity),
+    # not as a mid-run per-episode failure; keep the parsed data so the
+    # ingest threads don't re-read multi-MB scxvid/timecode files
+    kf_by_job = [_job_keyframe_data(job) for job in jobs]
     if temp_dir and not os.path.exists(temp_dir):
         os.makedirs(temp_dir)
 
@@ -414,6 +430,7 @@ def sync_season(
                 temp_dir,
                 registry,
                 grouping,
+                kf_by_job[index],
             ): job
             for index, job in enumerate(jobs)
         }

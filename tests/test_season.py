@@ -286,3 +286,48 @@ def test_season_job_keyframe_validation(tmp_path, season):
                      src_keyframes="auto", dst_keyframes="auto")
     with pytest.raises(SushiError, match="explicit keyframe"):
         sync_season([auto])
+
+
+def test_season_different_tracks_of_one_container_demux_separately(tmp_path, fake_ffmpeg):
+    """Two jobs selecting *different* audio tracks of the same container
+    must not share a demuxed WAV: the demux registry dedupes by output
+    path, so the path has to encode the track selection or the second job
+    silently aligns against the wrong audio."""
+    shift = 1.5
+    audio = synth_episode(16.0, EVENTS, seed=97)
+    container = str(tmp_path / "movie.mkv")
+    with open(container, "w") as handle:
+        handle.write("not really matroska")
+    write_wav_int16(container[: -len(".mkv")] + ".hidden.wav", shift_audio(audio, shift))
+    src = str(tmp_path / "movie.src.wav")
+    write_wav_int16(src, audio)
+    jobs = []
+    for i, idx in enumerate((None, 1)):  # default track vs explicit #1
+        script = str(tmp_path / f"job{i}.srt")
+        write_srt(script, [(s, e, f"job{i} line") for s, e in EVENTS])
+        jobs.append(
+            SeasonJob(src, container, script, str(tmp_path / f"job{i}.out.srt"),
+                      dst_audio_idx=idx)
+        )
+
+    temp_dir = str(tmp_path / "work")
+    failures = sync_season(jobs, temp_dir=temp_dir, io_threads=2)
+    assert failures == []
+    for job in jobs:
+        result = SrtScript.from_file(job.output)
+        for event, (start, _) in zip(result.events, EVENTS):
+            assert event.start == pytest.approx(start + shift, abs=2e-3), job.output
+    log_path = fake_ffmpeg / "demux.log"
+    demux_calls = [line for line in log_path.read_text().splitlines() if container in line]
+    assert len(demux_calls) == 2, demux_calls
+
+
+def test_season_fps_timecodes_conflict_rejected_without_keyframes(tmp_path, season):
+    """The fps-vs-timecodes conflict fails fast even when no keyframes are
+    in play — same unconditional validation as the single-episode CLI."""
+    _, jobs = season
+    base = jobs[0]
+    conflicted = SeasonJob(base.src, base.dst, base.script, str(tmp_path / "x.srt"),
+                           src_timecodes=base.script, src_fps=23.976)
+    with pytest.raises(SushiError, match="fps and timecodes"):
+        sync_season([conflicted])

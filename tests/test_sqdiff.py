@@ -315,3 +315,49 @@ def test_sliding_energy_precision_vs_float64():
             exact = cumsq[np.minimum(np.arange(n) + lens[b], n)] - cumsq[:n]
             err = np.abs(E[b] - exact)
             assert np.all(err <= 8e-6 + 4e-7 * exact), (n, b, err.max())
+
+
+def test_coarse_scores_accepts_rows_narrower_than_fft_size():
+    """Callers may pass rows narrower than fft_size (the FFT pads
+    implicitly); the cumsum energy stage must pad the same way instead of
+    failing to broadcast against the [B, fft_size] correlation."""
+    from sushi_tpu.ops.sqdiff import coarse_scores
+
+    rng = np.random.RandomState(5)
+    n, fft_size = 1024, 2048
+    pats = np.zeros((2, n), np.float32)
+    wins = np.zeros((2, n), np.float32)
+    pat_lens = np.array([200, 300], np.int32)
+    win_lens = np.array([n, 900], np.int32)
+    for b in range(2):
+        wins[b, : win_lens[b]] = rng.rand(win_lens[b]).astype(np.float32)
+        pats[b, : pat_lens[b]] = rng.rand(pat_lens[b]).astype(np.float32)
+
+    narrow = np.asarray(coarse_scores(
+        jnp.asarray(pats), jnp.asarray(pat_lens),
+        jnp.asarray(wins), jnp.asarray(win_lens), fft_size,
+    ))
+    wide = np.asarray(coarse_scores(
+        jnp.asarray(np.pad(pats, ((0, 0), (0, fft_size - n)))),
+        jnp.asarray(pat_lens),
+        jnp.asarray(np.pad(wins, ((0, 0), (0, fft_size - n)))),
+        jnp.asarray(win_lens), fft_size,
+    ))
+    np.testing.assert_allclose(narrow, wide, rtol=0, atol=1e-6)
+
+
+def test_padded_batch_shapes_bounded_for_any_device_count():
+    """Chunk padding must produce at most len(_BATCH_BUCKETS) distinct
+    shapes for ANY device count (a per-chunk ceil fallback for counts
+    like 3 or 6 would compile a fresh executable per batch size), and on
+    one device it must be plain bucket quantization."""
+    from sushi_tpu.align.batcher import _BATCH_BUCKETS, _padded_batch
+
+    for devices in (1, 2, 3, 5, 6, 8):
+        shapes = {_padded_batch(b, devices) for b in range(1, 129)}
+        assert len(shapes) <= len(_BATCH_BUCKETS), (devices, shapes)
+        for b in range(1, 129):
+            padded = _padded_batch(b, devices)
+            assert padded >= b and padded % devices == 0, (devices, b, padded)
+    for b, want in ((1, 1), (2, 8), (8, 8), (9, 32), (33, 64), (65, 128), (128, 128)):
+        assert _padded_batch(b, 1) == want
