@@ -309,13 +309,16 @@ def measure_kernel_throughput():
     stream = jnp.asarray(rng.randint(0, 256, 1 << 25).astype(np.uint8))
     shapes = []
     for fft_size, batch, pat_cap in ((98304, 64, 32768), (131072, 128, 32768), (524288, 128, 65536)):
-        starts = jnp.asarray(rng.randint(0, 1 << 24, batch).astype(np.int32))
-        pat_lens = jnp.asarray(np.full(batch, 30000, np.int32))
-        win_lens = jnp.asarray(np.full(batch, fft_size - 4096, np.int32))
+        starts = rng.randint(0, 1 << 24, batch).astype(np.int32)
+        bounds = jnp.asarray(np.array(
+            [starts, np.full(batch, 30000, np.int32),
+             starts, np.full(batch, fft_size - 4096, np.int32)], np.int32,
+        ))
 
         def dispatch():
-            return sqdiff.match_from_streams_packed(
-                stream, stream, starts, pat_lens, starts, win_lens,
+            # the production entry: one packed [4, B] bounds operand
+            return sqdiff.match_from_streams_bounds(
+                stream, stream, bounds,
                 fft_size=fft_size, slice_len=fft_size, pat_cap=pat_cap,
             )
 

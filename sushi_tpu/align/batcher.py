@@ -271,36 +271,37 @@ _SHARDED_MATCH: Dict[int, object] = {}
 
 
 def _sharded_match_packed(mesh):
-    """match_from_streams_packed jitted with rows sharded over the mesh."""
+    """match_from_streams_bounds jitted with chunk rows sharded over the
+    mesh (the [4, B] bounds operand shards along its batch axis)."""
     cached = _SHARDED_MATCH.get(id(mesh))
     if cached is not None:
         return cached
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    def positional(src, dst, ps, pl, ws, wl, fft_size, slice_len, rescore_k,
+    def positional(src, dst, bounds, fft_size, slice_len, rescore_k,
                    pat_cap, coarse_pool, pool_regions, pool_slack):
-        return sqdiff.match_from_streams_packed.__wrapped__(
-            src, dst, ps, pl, ws, wl,
+        return sqdiff.match_from_streams_bounds.__wrapped__(
+            src, dst, bounds,
             fft_size=fft_size, slice_len=slice_len, rescore_k=rescore_k,
             pat_cap=pat_cap, coarse_pool=coarse_pool,
             pool_regions=pool_regions, pool_slack=pool_slack,
         )
 
     replicated = NamedSharding(mesh, P())
-    rows = NamedSharding(mesh, P("dp"))
+    rows = NamedSharding(mesh, P(None, "dp"))
     jitted = jax.jit(
         positional,
-        static_argnums=tuple(range(6, 13)),
+        static_argnums=tuple(range(3, 10)),
         # jit forbids call-time kwargs once in_shardings is given, hence
         # the positional wrapper
-        in_shardings=(replicated, replicated, rows, rows, rows, rows),
+        in_shardings=(replicated, replicated, rows),
         out_shardings=NamedSharding(mesh, P(None, "dp")),
     )
 
-    def call(src, dst, ps, pl, ws, wl, *, fft_size, slice_len, rescore_k=16,
+    def call(src, dst, bounds, *, fft_size, slice_len, rescore_k=16,
              pat_cap=None, coarse_pool=None, pool_regions=8, pool_slack=4):
-        return jitted(src, dst, ps, pl, ws, wl, fft_size, slice_len,
+        return jitted(src, dst, bounds, fft_size, slice_len,
                       rescore_k, pat_cap, coarse_pool, pool_regions, pool_slack)
 
     _SHARDED_MATCH[id(mesh)] = call
@@ -771,7 +772,7 @@ def execute_planned_multi(
     mesh = production_mesh()
     mesh_devices = mesh.devices.size if mesh is not None else 1
     match_packed = (
-        sqdiff.match_from_streams_packed if mesh is None else _sharded_match_packed(mesh)
+        sqdiff.match_from_streams_bounds if mesh is None else _sharded_match_packed(mesh)
     )
     dispatch_started = time.perf_counter()
     in_flight = []
@@ -790,17 +791,24 @@ def execute_planned_multi(
             # patterns inside window-dominated ffts
             pat_cap = min(_fft_bucket(max(r.pat_len for r in rows)), fft_size)
             coarse_pool = _coarse_pool_for(fft_size, min(r.pat_len for r in chunk))
-            operands = (
-                jnp.asarray(np.array([r.pat_start for r in rows], np.int32)),
-                jnp.asarray(np.array([r.pat_len for r in rows], np.int32)),
-                jnp.asarray(np.array([r.win_start for r in rows], np.int32)),
-                jnp.asarray(np.array([r.win_len for r in rows], np.int32)),
-            )
+            # ONE [4, B] upload per chunk (pat_start/pat_len/win_start/
+            # win_len rows): every device_put is a separate transfer op
+            # (~1 ms each through a relay), so packing cuts the round's
+            # host->device op count 4x; the kernel unpacks inside jit
+            bounds = jnp.asarray(np.array(
+                [
+                    [r.pat_start for r in rows],
+                    [r.pat_len for r in rows],
+                    [r.win_start for r in rows],
+                    [r.win_len for r in rows],
+                ],
+                np.int32,
+            ))
             for _ in range(max(1, repeat)):
                 packed = match_packed(
                     pair.src_dev,
                     pair.dst_dev,
-                    *operands,
+                    bounds,
                     fft_size=fft_size,
                     slice_len=fft_size,
                     rescore_k=rescore_k,

@@ -633,6 +633,39 @@ def match_from_streams_packed(
     return jnp.stack([scores, lags.astype(jnp.float32)])
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "fft_size", "slice_len", "rescore_k", "pat_cap", "coarse_pool",
+        "pool_regions", "pool_slack",
+    ),
+)
+def match_from_streams_bounds(
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    bounds: jnp.ndarray,
+    *,
+    fft_size: int,
+    slice_len: int,
+    rescore_k: int = 16,
+    pat_cap: Optional[int] = None,
+    coarse_pool: Optional[int] = None,
+    pool_regions: int = 8,
+    pool_slack: int = 4,
+) -> jnp.ndarray:
+    """:func:`match_from_streams_packed` with the four [B] operand arrays
+    packed as ONE ``[4, B]`` int32 (rows: pat_start, pat_len, win_start,
+    win_len).  Each host->device upload is its own transfer op — through a
+    relay ~1 ms apiece — so a round of N chunks dispatches N uploads
+    instead of 4N; the unpack is free inside the compiled kernel."""
+    scores, lags = match_from_streams(
+        src, dst, bounds[0], bounds[1], bounds[2], bounds[3],
+        fft_size=fft_size, slice_len=slice_len, rescore_k=rescore_k, pat_cap=pat_cap,
+        coarse_pool=coarse_pool, pool_regions=pool_regions, pool_slack=pool_slack,
+    )
+    return jnp.stack([scores, lags.astype(jnp.float32)])
+
+
 @jax.jit
 def join_packed(*packed: jnp.ndarray) -> jnp.ndarray:
     """Concatenate per-chunk ``[2, B_i]`` results along the batch axis.

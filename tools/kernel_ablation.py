@@ -80,9 +80,10 @@ def make_variants(fft_size, pat_cap):
         )
 
     def stage_full(stream, starts, pat_lens, win_lens):
+        bounds = jnp.stack([starts, pat_lens, starts, win_lens])
         return jnp.sum(
-            sqdiff.match_from_streams_packed(
-                stream, stream, starts, pat_lens, starts, win_lens,
+            sqdiff.match_from_streams_bounds(
+                stream, stream, bounds,
                 fft_size=fft_size, slice_len=fft_size, pat_cap=pat_cap,
             )
         )
