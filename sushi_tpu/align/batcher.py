@@ -356,6 +356,7 @@ _COARSE_POOL_ENV = _env_int("SUSHI_COARSE_POOL", 0)
 # a pooled pattern needs enough envelope samples for its dip to survive
 # mean pooling; below this many *pooled* pattern samples, stay full-rate
 _COARSE_POOL_MIN_PAT_BLOCKS = 64
+_COARSE_POOL_WARNED: set = set()  # fft sizes already warned about
 
 
 def _coarse_pool_for(fft_size: int, min_pat_len: int) -> Optional[int]:
@@ -363,17 +364,19 @@ def _coarse_pool_for(fft_size: int, min_pat_len: int) -> Optional[int]:
     if _COARSE_POOL_ENV <= 1:
         return None
     pool = _COARSE_POOL_ENV
+    if fft_size < _COARSE_POOL_MIN_FFT:
+        return None
     if fft_size % pool or (fft_size // pool) % 128:
         # the pooled kernel reshapes rows to (n//pool, pool) and selects
         # candidates in 128-lag blocks; a malformed tunable (pool=7, say)
         # would crash the sync at trace time — ignore it like _env_int
-        # ignores non-integers
-        _log.warning(
-            "SUSHI_COARSE_POOL=%d does not evenly pool a %d-sample bucket; "
-            "running full-rate", pool, fft_size,
-        )
-        return None
-    if fft_size < _COARSE_POOL_MIN_FFT:
+        # ignores non-integers (warn once, not per chunk)
+        if fft_size not in _COARSE_POOL_WARNED:
+            _COARSE_POOL_WARNED.add(fft_size)
+            _log.warning(
+                "SUSHI_COARSE_POOL=%d does not evenly pool a %d-sample bucket; "
+                "running full-rate", pool, fft_size,
+            )
         return None
     if min_pat_len < _COARSE_POOL_MIN_PAT_BLOCKS * pool:
         return None

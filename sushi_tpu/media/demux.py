@@ -363,6 +363,15 @@ class Demuxer:
         self._audio_sample_rate = sample_rate
         self._demux_audio = True
 
+    def resolve_audio_idx(self, stream_idx: Optional[int]) -> int:
+        """The container stream id an audio selection resolves to (the
+        default track when ``stream_idx`` is None).  Lets callers key
+        demux outputs by the ACTUAL track: two requests naming the same
+        track — one implicitly, one explicitly — share one output, while
+        different tracks never collide.  Raises the same SushiError as
+        :meth:`set_audio` for an invalid selection."""
+        return self._select_stream(self._mi.audio, stream_idx, "audio").id
+
     def set_script(self, stream_idx: Optional[int], output_path: str) -> None:
         self._script_stream = self._select_stream(self._mi.subtitles, stream_idx, "subtitles")
         self._script_output_path = output_path

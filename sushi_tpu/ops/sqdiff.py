@@ -601,45 +601,6 @@ def match_from_streams(
         "pool_regions", "pool_slack",
     ),
 )
-def match_from_streams_packed(
-    src: jnp.ndarray,
-    dst: jnp.ndarray,
-    pat_starts: jnp.ndarray,
-    pat_lens: jnp.ndarray,
-    win_starts: jnp.ndarray,
-    win_lens: jnp.ndarray,
-    *,
-    fft_size: int,
-    slice_len: int,
-    rescore_k: int = 16,
-    pat_cap: Optional[int] = None,
-    coarse_pool: Optional[int] = None,
-    pool_regions: int = 8,
-    pool_slack: int = 4,
-) -> jnp.ndarray:
-    """:func:`match_from_streams`, packed as one ``[2, B]`` float32 array
-    (row 0 scores, row 1 lags — exact in float32 since lags < 2^22).
-
-    Remote/tunneled backends pay a full round-trip per eager op and per
-    device->host sync, so the batcher wants each round to be pure jit
-    dispatches plus ONE concat + ONE fetch; packing inside the compiled
-    kernel keeps the host side free of per-chunk conversion ops.
-    """
-    scores, lags = match_from_streams(
-        src, dst, pat_starts, pat_lens, win_starts, win_lens,
-        fft_size=fft_size, slice_len=slice_len, rescore_k=rescore_k, pat_cap=pat_cap,
-        coarse_pool=coarse_pool, pool_regions=pool_regions, pool_slack=pool_slack,
-    )
-    return jnp.stack([scores, lags.astype(jnp.float32)])
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "fft_size", "slice_len", "rescore_k", "pat_cap", "coarse_pool",
-        "pool_regions", "pool_slack",
-    ),
-)
 def match_from_streams_bounds(
     src: jnp.ndarray,
     dst: jnp.ndarray,
@@ -653,11 +614,16 @@ def match_from_streams_bounds(
     pool_regions: int = 8,
     pool_slack: int = 4,
 ) -> jnp.ndarray:
-    """:func:`match_from_streams_packed` with the four [B] operand arrays
-    packed as ONE ``[4, B]`` int32 (rows: pat_start, pat_len, win_start,
-    win_len).  Each host->device upload is its own transfer op — through a
-    relay ~1 ms apiece — so a round of N chunks dispatches N uploads
-    instead of 4N; the unpack is free inside the compiled kernel."""
+    """:func:`match_from_streams` with results packed as one ``[2, B]``
+    float32 (row 0 scores, row 1 lags — exact in float32 since lags
+    < 2^22) and the four [B] operand arrays packed as ONE ``[4, B]``
+    int32 (rows: pat_start, pat_len, win_start, win_len).
+
+    Both packings serve the same relay-latency discipline: remote
+    backends pay a round-trip per eager op, per device->host sync, AND
+    per host->device upload, so a round is pure jit dispatches with one
+    operand upload each, ONE concat, ONE fetch — the pack/unpack is free
+    inside the compiled kernel."""
     scores, lags = match_from_streams(
         src, dst, bounds[0], bounds[1], bounds[2], bounds[3],
         fft_size=fft_size, slice_len=slice_len, rescore_k=rescore_k, pat_cap=pat_cap,

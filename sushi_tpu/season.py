@@ -214,24 +214,30 @@ def _resolve_audio(
     from sushi_tpu.pipeline import format_full_path
 
     demuxer = Demuxer(path)
+    # key the output by the RESOLVED track id (not the raw request): the
+    # demux registry dedupes by this path, so two jobs picking different
+    # audio tracks of one container must not share an output — while a
+    # default-track request and an explicit index naming that same track
+    # must (one demux, not two)
+    resolved_idx = demuxer.resolve_audio_idx(stream_idx)
     if temp_dir:
         # the single-episode pipeline keys temp files by basename alone
         # (reference sushi.py:516-518); a season runs MANY jobs into one
         # temp dir concurrently, where src/dst or two episodes sharing a
         # basename would demux onto each other's audio — disambiguate with
-        # a hash of the absolute path AND the selected track (the demux
-        # registry dedupes by this path, so two jobs picking different
-        # audio tracks of one container must not share an output)
+        # a hash of the absolute path
         import hashlib
 
         digest = hashlib.sha1(
-            ("%s#%r" % (os.path.abspath(path), stream_idx)).encode("utf-8")
+            ("%s#%d" % (os.path.abspath(path), resolved_idx)).encode("utf-8")
         ).hexdigest()[:10]
         audio_path = os.path.join(
             temp_dir, "%s.%s.sushi.wav" % (os.path.basename(path), digest)
         )
     else:
-        audio_path = format_full_path(temp_dir, path, ".sushi.wav")
+        audio_path = format_full_path(
+            temp_dir, path, ".%d.sushi.wav" % resolved_idx
+        )
     demuxer.set_audio(stream_idx=stream_idx, output_path=audio_path, sample_rate=sample_rate)
     if registry is None:
         demuxer.demux()
@@ -403,8 +409,20 @@ def sync_season(
                 raise SushiError("{0} file doesn't exist: {1}".format(title, path))
     # keyframe/timecode option consistency fails fast (pipeline parity),
     # not as a mid-run per-episode failure; keep the parsed data so the
-    # ingest threads don't re-read multi-MB scxvid/timecode files
-    kf_by_job = [_job_keyframe_data(job) for job in jobs]
+    # ingest threads don't re-read multi-MB scxvid/timecode files, and
+    # dedupe by the option tuple — a season typically points EVERY job at
+    # the same keyframe logs, which should parse once, not once per job
+    # (KeyframeData is read-only downstream, so sharing one is safe)
+    kf_memo: dict = {}
+
+    def _kf_for(job: SeasonJob):
+        key = (job.src_keyframes, job.dst_keyframes, job.src_timecodes,
+               job.dst_timecodes, job.src_fps, job.dst_fps)
+        if key not in kf_memo:
+            kf_memo[key] = _job_keyframe_data(job)
+        return kf_memo[key]
+
+    kf_by_job = [_kf_for(job) for job in jobs]
     if temp_dir and not os.path.exists(temp_dir):
         os.makedirs(temp_dir)
 

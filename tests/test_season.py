@@ -97,6 +97,7 @@ def fake_ffmpeg(tmp_path, monkeypatch):
         "  printf 'Input #0, matroska,webm, from %s:\\n' \"$input\" >&2\n"
         "  printf '    Stream #0:0: Video: h264 (default)\\n' >&2\n"
         "  printf '    Stream #0:1: Audio: pcm_s16le (default)\\n' >&2\n"
+        "  printf '    Stream #0:2: Audio: pcm_s16le\\n' >&2\n"
         "  exit 1\n"
         "fi\n"
         'printf "demux %s\\n" "$input" >> "' + str(bindir) + '/demux.log"\n'
@@ -288,11 +289,12 @@ def test_season_job_keyframe_validation(tmp_path, season):
         sync_season([auto])
 
 
-def test_season_different_tracks_of_one_container_demux_separately(tmp_path, fake_ffmpeg):
-    """Two jobs selecting *different* audio tracks of the same container
-    must not share a demuxed WAV: the demux registry dedupes by output
-    path, so the path has to encode the track selection or the second job
-    silently aligns against the wrong audio."""
+def test_season_demux_dedupe_keys_by_resolved_track(tmp_path, fake_ffmpeg):
+    """The demux registry dedupes by RESOLVED track: jobs selecting
+    *different* audio tracks of one container must not share a demuxed
+    WAV (the second would silently align against the wrong audio), while
+    a default-track request and an explicit index naming that same track
+    must share one demux (not run two)."""
     shift = 1.5
     audio = synth_episode(16.0, EVENTS, seed=97)
     container = str(tmp_path / "movie.mkv")
@@ -302,7 +304,8 @@ def test_season_different_tracks_of_one_container_demux_separately(tmp_path, fak
     src = str(tmp_path / "movie.src.wav")
     write_wav_int16(src, audio)
     jobs = []
-    for i, idx in enumerate((None, 1)):  # default track vs explicit #1
+    # default (resolves to track 1), explicit track 1 (same), track 2
+    for i, idx in enumerate((None, 1, 2)):
         script = str(tmp_path / f"job{i}.srt")
         write_srt(script, [(s, e, f"job{i} line") for s, e in EVENTS])
         jobs.append(
@@ -319,7 +322,7 @@ def test_season_different_tracks_of_one_container_demux_separately(tmp_path, fak
             assert event.start == pytest.approx(start + shift, abs=2e-3), job.output
     log_path = fake_ffmpeg / "demux.log"
     demux_calls = [line for line in log_path.read_text().splitlines() if container in line]
-    assert len(demux_calls) == 2, demux_calls
+    assert len(demux_calls) == 2, demux_calls  # track 1 once (shared), track 2 once
 
 
 def test_season_fps_timecodes_conflict_rejected_without_keyframes(tmp_path, season):
