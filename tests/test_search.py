@@ -419,3 +419,22 @@ def test_exact_tie_plateau_first_lag_through_batched_driver():
     score, found_time, abs_sample = results["plateau"]
     assert abs_sample == c_lag
     assert score == pytest.approx(float(scores[c_lag]), abs=1e-5)
+
+
+def test_malformed_coarse_pool_env_is_ignored(monkeypatch, caplog):
+    """A SUSHI_COARSE_POOL that doesn't evenly pool a bucket (pool=7 on a
+    98304 bucket) must fall back to full rate with a warning, not crash
+    the sync at trace time; a valid pool still passes its gates."""
+    import logging
+    from sushi_tpu.align import batcher
+
+    monkeypatch.setattr(batcher, "_COARSE_POOL_ENV", 7)
+    monkeypatch.setattr(batcher, "_COARSE_POOL_WARNED", set())
+    with caplog.at_level(logging.WARNING, logger="sushi_tpu"):
+        assert batcher._coarse_pool_for(98304, 60000) is None
+        assert batcher._coarse_pool_for(98304, 60000) is None  # warn once
+    assert sum("does not evenly pool" in r.message for r in caplog.records) == 1
+
+    monkeypatch.setattr(batcher, "_COARSE_POOL_ENV", 8)
+    assert batcher._coarse_pool_for(98304, 60000) == 8
+    assert batcher._coarse_pool_for(8192, 60000) is None  # below MIN_FFT
