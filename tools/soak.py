@@ -152,10 +152,79 @@ def run_iteration(rng, index):
         return not mismatches
 
 
+def run_season_iteration(rng, index, episodes=3):
+    """Merged-round season sync vs per-episode single runs, byte-compared.
+
+    Episodes use 'plain' scenarios (randomized shifts, noise, event
+    layouts) where every decision is score-distinguishable, so the season
+    path — which merges chunks across episodes into different compiled
+    batch shapes than a single run — must write byte-identical scripts.
+    (Corrupted/garbage scenarios are excluded on purpose: bit-equal score
+    ties there may legitimately break differently between batch shapes —
+    the documented tie caveat — which the single-episode soak's
+    score-tie waiver handles but a byte compare cannot.)"""
+    from sushi_tpu import pipeline
+    from sushi_tpu.cli import create_arg_parser
+    from sushi_tpu.season import SeasonJob, sync_season
+    from tests.fixtures import write_srt
+
+    with tempfile.TemporaryDirectory() as tmp:
+        jobs = []
+        shifts = []
+        for e in range(episodes):
+            sub = os.path.join(tmp, "ep%d" % e)
+            os.makedirs(sub)
+            while True:  # draw until a plain scenario comes up
+                src_path, dst_path, events, shift, scenario = random_fixture(rng, sub)
+                if scenario == "plain":
+                    break
+            script = os.path.join(sub, "in.srt")
+            write_srt(script, [(s, en, "ep%d line" % e) for (s, en) in events])
+            jobs.append(SeasonJob(src_path, dst_path, script, os.path.join(sub, "season.srt")))
+            shifts.append(shift)
+
+        season_failures = sync_season(jobs, io_threads=episodes)
+        parser = create_arg_parser()
+        mismatches = []
+        for e, job in enumerate(jobs):
+            single_out = os.path.join(tmp, "single%d.srt" % e)
+            args = parser.parse_args(
+                ["--src", job.src, "--dst", job.dst, "--script", job.script, "-o", single_out]
+            )
+            single_error = None
+            try:
+                pipeline.run(args)
+            except Exception as error:  # noqa: BLE001 — engines must agree on failure
+                single_error = "%s: %s" % (type(error).__name__, error)
+            season_error = next((msg for j, msg in season_failures if j is job), None)
+            if (single_error is None) != (season_error is None):
+                mismatches.append((e, "fail-state", single_error, season_error))
+            elif single_error is None:
+                with open(single_out, "rb") as handle:
+                    single_bytes = handle.read()
+                with open(job.output, "rb") as handle:
+                    season_bytes = handle.read()
+                if single_bytes != season_bytes:
+                    mismatches.append((e, "bytes", len(single_bytes), len(season_bytes)))
+
+        status = "OK" if not mismatches else "MISMATCH"
+        logging.info(
+            "season soak %03d: %d episodes shifts=[%s] -> %s",
+            index, episodes, ", ".join("%+.2f" % s for s in shifts), status,
+        )
+        for entry in mismatches:
+            logging.error("  episode mismatch: %r", entry)
+        return not mismatches
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("iterations", nargs="?", type=int, default=10)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--season", action="store_true",
+        help="soak the season batch path: merged rounds vs single runs, byte-compared",
+    )
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO, format="%(message)s")
@@ -165,7 +234,8 @@ def main():
     started = time.time()
     failures = 0
     for index in range(args.iterations):
-        if not run_iteration(rng, index):
+        iteration = run_season_iteration if args.season else run_iteration
+        if not iteration(rng, index):
             failures += 1
     logging.info(
         "soak done: %d/%d ok in %.1fs", args.iterations - failures, args.iterations,
