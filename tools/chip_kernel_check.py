@@ -123,6 +123,43 @@ def main() -> int:
             % (n, pool, got, expected, "ok" if ok else "MISMATCH"),
             file=sys.stderr,
         )
+
+    # the PRODUCTION dispatch entry: uint8 streams resident on device,
+    # [4, B] bounds-packed operands, gather + convert + match in one
+    # compiled call (exactly what execute_planned dispatches)
+    from sushi_tpu.ops.sqdiff import match_from_streams_bounds
+
+    fft_size, batch = 24576, 4
+    stream = rng.randint(0, 256, (1 << 21) + fft_size).astype(np.uint8)
+    bounds = np.zeros((4, batch), np.int32)
+    expected = []
+    for b in range(batch):
+        lp = rng.randint(4000, 8000)
+        wl = rng.randint(lp + 4000, fft_size)
+        ws = rng.randint(0, (1 << 21) - wl)
+        true_lag = rng.randint(0, wl - lp)
+        ps = ws + true_lag  # pattern is a slice of the window region
+        bounds[:, b] = (ps, lp, ws, wl)
+        expected.append(
+            oracle_match(
+                stream[ps : ps + lp].astype(np.float32) / 255.0,
+                stream[ws : ws + wl].astype(np.float32) / 255.0,
+            )[1]
+        )
+    packed = np.asarray(
+        match_from_streams_bounds(
+            jnp.asarray(stream), jnp.asarray(stream), jnp.asarray(bounds),
+            fft_size=fft_size, slice_len=fft_size, pat_cap=8192,
+        )
+    )
+    got = [int(v) for v in packed[1]]
+    ok = all(abs(g - e) <= 1 for g, e in zip(got, expected))
+    failures += 0 if ok else 1
+    print(
+        "chip_kernel_check: bounds-entry lags %s vs oracle %s %s"
+        % (got, expected, "ok" if ok else "MISMATCH"),
+        file=sys.stderr,
+    )
     return 1 if failures else 0
 
 
