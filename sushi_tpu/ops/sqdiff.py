@@ -413,7 +413,7 @@ def _coarse_candidates_auto(
     from sushi_tpu.ops import pallas_coarse
 
     use_fused = (
-        pallas_coarse.coarse_post_supported(fft_size)
+        pallas_coarse.coarse_post_supported(fft_size, pat_cap or fft_size)
         and os.environ.get("SUSHI_FUSED_COARSE", "1") != "0"
         if force_fused is None
         else force_fused
@@ -483,9 +483,13 @@ def _match_pooled(
     win_lens_p = jnp.maximum(win_lens // pool, pat_lens_p)
     # pooled pat_lens are floor'd, so ceil'd pooled cap stays a bound
     cap_p = min(-(-pat_cap // pool), pooled_n) if pat_cap else None
-    coarse_p = coarse_scores(pat_p, pat_lens_p, win_p, win_lens_p, pooled_n, cap_p)
-
-    pooled_cands = _blockwise_candidates(coarse_p, regions)  # [B, regions+2]
+    # the pooled coarse pass rides the same fused Pallas post-FFT kernel as
+    # the full-rate path (falls back to coarse_scores + _blockwise_candidates
+    # off-TPU / unsupported shapes) — at wide buckets the XLA formulation's
+    # ~10 pooled-length materializations are a measurable chunk of the win
+    pooled_cands = _coarse_candidates_auto(
+        pat_p, pat_lens_p, win_p, win_lens_p, pooled_n, regions, cap_p
+    )  # [B, regions+2]
     base = pooled_cands * pool - slack * pool
     offsets = jnp.arange((2 * slack + 1) * pool, dtype=jnp.int32)[None, None, :]
     candidates = (base[:, :, None] + offsets).reshape(batch, -1)

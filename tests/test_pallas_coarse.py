@@ -87,6 +87,82 @@ def test_fused_block_minima_track_scores():
             assert coarse[b, seed] <= gmin + 2 * band
 
 
+@pytest.mark.parametrize("n,tile_rows", [(2048, 4), (6144, 8)])
+def test_tiled_kernel_matches_resident(n, tile_rows):
+    """The row-tiled kernel (used for n > MAX_FUSED_ROW on hardware) must
+    produce the resident kernel's outputs exactly at any tile height —
+    same per-block minima/args and tie seeds.  Small shapes + forced
+    tiling keep interpret mode fast; compiled parity at real 2^19+ shapes
+    runs on chip (tools/chip_kernel_check.py)."""
+    rng = np.random.RandomState(17 + n)
+    pats, pat_lens, wins, win_lens = _batch(rng, 3, n)
+    pat_cap = n // 2
+    corr = jnp.fft.irfft(
+        jnp.fft.rfft(wins, n=n) * jnp.conj(jnp.fft.rfft(pats, n=n)), n=n
+    )
+    pat_energy = jnp.sum(pats * pats, axis=1)
+    lag_counts = win_lens - pat_lens + 1
+    resident = pallas_coarse.coarse_post_pallas(
+        corr, wins, pat_lens, lag_counts, pat_energy, pat_cap, interpret=True
+    )
+    tiled = pallas_coarse.coarse_post_pallas(
+        corr, wins, pat_lens, lag_counts, pat_energy, pat_cap,
+        interpret=True, tile_rows=tile_rows,
+    )
+    # block minima agree to two-float op-order noise; args and seeds are
+    # integers derived from those minima and must line up wherever the
+    # minima are distinguishable (random data: no exact plateaus)
+    np.testing.assert_allclose(
+        np.asarray(resident[0]), np.asarray(tiled[0]), rtol=0, atol=2e-6
+    )
+    np.testing.assert_array_equal(np.asarray(resident[1]), np.asarray(tiled[1]))
+    np.testing.assert_array_equal(np.asarray(resident[2]), np.asarray(tiled[2]))
+    np.testing.assert_array_equal(np.asarray(resident[3]), np.asarray(tiled[3]))
+
+
+def test_tiled_kernel_edge_clamp():
+    """Lags whose pattern span runs past the buffer read the truncated-sum
+    clamp P(n) — the tiled kernel's tail fill must equal the resident
+    kernel's edge extension (full-length windows maximize tail reads)."""
+    rng = np.random.RandomState(23)
+    n = 2048
+    pats, pat_lens, wins, win_lens = _batch(rng, 2, n, full_rows=True)
+    corr = jnp.fft.irfft(
+        jnp.fft.rfft(wins, n=n) * jnp.conj(jnp.fft.rfft(pats, n=n)), n=n
+    )
+    pat_energy = jnp.sum(pats * pats, axis=1)
+    lag_counts = win_lens - pat_lens + 1
+    resident = pallas_coarse.coarse_post_pallas(
+        corr, wins, pat_lens, lag_counts, pat_energy, n, interpret=True
+    )
+    tiled = pallas_coarse.coarse_post_pallas(
+        corr, wins, pat_lens, lag_counts, pat_energy, n,
+        interpret=True, tile_rows=4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(resident[0]), np.asarray(tiled[0]), rtol=0, atol=2e-6
+    )
+    np.testing.assert_array_equal(np.asarray(resident[1]), np.asarray(tiled[1]))
+
+
+def test_supported_gate():
+    """The support gate: resident sizes, tiled sizes under the VMEM
+    budget, and refusals (non-tile-multiple, oversized pat_cap)."""
+    assert pallas_coarse.coarse_post_supported(98304, 32768)
+    assert pallas_coarse.coarse_post_supported(131072, 131072)
+    # the wide-window escalation buckets now fuse (the round-3 gap)
+    assert pallas_coarse.coarse_post_supported(524288, 65536)
+    assert pallas_coarse.coarse_post_supported(786432, 32768)
+    # pat_cap as large as the row doubles the P scratch past the budget
+    assert not pallas_coarse.coarse_post_supported(1 << 20, 1 << 20)
+    # not a multiple of the tile quantum
+    assert not pallas_coarse.coarse_post_supported((1 << 17) + _128(), 4096)
+
+
+def _128():
+    return 128
+
+
 def test_fused_full_row_no_mask():
     """Full-length windows (no masked tail) — the all-valid-lags edge."""
     rng = np.random.RandomState(3)

@@ -88,6 +88,64 @@ def main() -> int:
             file=sys.stderr,
         )
 
+    # the TILED fused coarse-post kernel (pallas_coarse._kernel_tiled) at
+    # the wide-window escalation shapes it exists for: compiled on chip,
+    # its candidate nominations must yield the XLA formulation's decisions
+    # through the exact rescore (the same contract the interpret-mode unit
+    # tests pin at small shapes; Mosaic lowering only shows up here)
+    from sushi_tpu.ops import pallas_coarse, sqdiff
+
+    for n, pat_cap in ((524288, 65536), (786432, 32768)):
+        if not pallas_coarse.coarse_post_supported(n, pat_cap):
+            print(
+                "chip_kernel_check: coarse-post n=%d cap=%d UNSUPPORTED (budget gate)"
+                % (n, pat_cap), file=sys.stderr,
+            )
+            failures += 1
+            continue
+        batch = 4
+        patterns = np.zeros((batch, n), np.float32)
+        windows = np.zeros((batch, n), np.float32)
+        pat_lens = np.zeros(batch, np.int32)
+        win_lens = np.zeros(batch, np.int32)
+        for b in range(batch):
+            lp = rng.randint(pat_cap // 2, pat_cap)
+            wl = rng.randint(n - n // 4, n)
+            base = rng.rand(wl).astype(np.float32)
+            true_lag = rng.randint(0, wl - lp)
+            patterns[b, :lp] = base[true_lag : true_lag + lp] + rng.randn(lp).astype(np.float32) * 0.01
+            windows[b, :wl] = base
+            pat_lens[b], win_lens[b] = lp, wl
+        args = (
+            jnp.asarray(patterns), jnp.asarray(pat_lens),
+            jnp.asarray(windows), jnp.asarray(win_lens),
+        )
+        cands_f = jax.jit(
+            lambda p, pl_, w, wl_: sqdiff._coarse_candidates_auto(
+                p, pl_, w, wl_, n, 16, pat_cap, force_fused=True
+            )
+        )(*args)
+        cands_x = jax.jit(
+            lambda p, pl_, w, wl_: sqdiff._coarse_candidates_auto(
+                p, pl_, w, wl_, n, 16, pat_cap, force_fused=False
+            )
+        )(*args)
+        sel = jax.jit(
+            lambda p, pl_, w, wl_, c: sqdiff._exact_select(p, pl_, w, wl_, c, pat_cap)
+        )
+        s_f, l_f = sel(*args, cands_f)
+        s_x, l_x = sel(*args, cands_x)
+        lags_ok = np.array_equal(np.asarray(l_f), np.asarray(l_x))
+        score_gap = float(np.abs(np.asarray(s_f) - np.asarray(s_x)).max())
+        ok = lags_ok and score_gap < 1e-6
+        failures += 0 if ok else 1
+        print(
+            "chip_kernel_check: tiled coarse-post n=%d cap=%d lags %s score-gap %.2e %s"
+            % (n, pat_cap, [int(v) for v in np.asarray(l_f)], score_gap,
+               "ok" if ok else "MISMATCH"),
+            file=sys.stderr,
+        )
+
     # end-to-end compiled match (coarse FFT + compensated-cumsum energy +
     # candidate selection + rescore) vs the float64 host oracle, incl. the
     # opt-in pooled coarse mode — catches lowering bugs anywhere in the
