@@ -342,15 +342,30 @@ def _env_int(name: str, default: int) -> int:
 
 _UPLOAD_MEMO_MAX = _env_int("SUSHI_UPLOAD_MEMO", 64)
 
-# Per-request pooled coarse-to-fine (ops/sqdiff._match_pooled) is a
-# MEASURED REJECT as a default: on a v5e, pool=8 with an exactness-robust
-# refinement slack costs MORE than it saves (the Pallas rescore runs
-# ~0.3 us/candidate/row, so the ~1400 neighborhood candidates robust
-# pooling needs dwarf the ~7 ms coarse FFT it avoids: pool8/slack4
-# measured 15.6 ms vs 8.9 ms unpooled per 64-row chunk), and mean pooling
-# mis-localizes flat-basin minima on smooth low-frequency audio (14/40
-# cv2 mismatches on a random-walk fixture at slack 1).  Kept as an
-# opt-in experiment: SUSHI_COARSE_POOL=<pool width>.
+# Per-request pooled coarse-to-fine (ops/sqdiff._match_pooled) stays an
+# OPT-IN throughput mode (SUSHI_COARSE_POOL=<width>), measured both ways
+# on a v5e across two rounds:
+#
+# * at the flagship buckets (<= 2^17) it loses outright: the Pallas
+#   rescore runs ~0.3 us/candidate/row, so the ~1400 neighborhood
+#   candidates robust pooling needs dwarf the ~7 ms coarse FFT it avoids
+#   (pool8/slack4 measured 15.6 ms vs 8.9 ms unpooled per 64-row chunk);
+# * at the wide-window buckets (>= 2^18) the FFT dominates (52.6 ms of a
+#   72 ms kernel at 524288x128) and pool=4 measured 1.85x faster
+#   (42.6 ms vs 78.9 ms, r4) with lags exactly equal on planted-pattern
+#   fixtures — but a DEFAULT-ON trial was REVERTED the same round:
+#   tools/soak.py caught decision divergence vs the float64 oracle on
+#   corrupted/garbage regions (no real dip for the pooled envelope to
+#   find, so the full-rate minimum — a noise artifact the reference
+#   faithfully returns — falls outside every pooled neighborhood).
+#   Decision parity with the reference engine is the framework's core
+#   contract, so exact full-rate stays the default at every bucket;
+#   bulk-sync workloads that accept near-miss picks on garbage spans can
+#   still opt in per process.
+#
+# Mean pooling can also mis-localize flat-basin minima on smooth
+# low-frequency audio (14/40 cv2 mismatches on a random-walk fixture at
+# slack 1), hence the exactness-robust slack of 4 blocks each side.
 _COARSE_POOL_MIN_FFT = 1 << 15
 _COARSE_POOL_ENV = _env_int("SUSHI_COARSE_POOL", 0)
 # a pooled pattern needs enough envelope samples for its dip to survive

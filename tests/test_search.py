@@ -438,3 +438,20 @@ def test_malformed_coarse_pool_env_is_ignored(monkeypatch, caplog):
     monkeypatch.setattr(batcher, "_COARSE_POOL_ENV", 8)
     assert batcher._coarse_pool_for(98304, 60000) == 8
     assert batcher._coarse_pool_for(8192, 60000) is None  # below MIN_FFT
+
+
+def test_coarse_pooling_stays_opt_in(monkeypatch):
+    """Pooling must NEVER engage without SUSHI_COARSE_POOL — a default-on
+    trial at the wide buckets was reverted in round 4 after tools/soak.py
+    caught decision divergence vs the float64 oracle (pooled nomination
+    misses full-rate minima on garbage spans and aliases on the
+    un-lowpassed analysis streams; see the landscape note at
+    batcher._coarse_pool_for).  This pins the revert."""
+    from sushi_tpu.align import batcher
+
+    monkeypatch.setattr(batcher, "_COARSE_POOL_ENV", 0)  # unset default
+    for fft_size in (98304, 131072, 262144, 1 << 19, 786432, 1 << 20):
+        assert batcher._coarse_pool_for(fft_size, 60000) is None
+    monkeypatch.setattr(batcher, "_COARSE_POOL_ENV", 4)  # explicit opt-in
+    assert batcher._coarse_pool_for(1 << 19, 30000) == 4
+    assert batcher._coarse_pool_for(1 << 19, 200) is None  # short pattern
