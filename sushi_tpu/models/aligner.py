@@ -46,14 +46,15 @@ def forward_step(fft_size: int = 16384, rescore_k: int = 16):
     return fn, example_args
 
 
-def training_step_sharded(mesh, fft_size: int = 4096, rescore_k: int = 8):
+def sharded_alignment_step(mesh, fft_size: int = 4096, rescore_k: int = 8):
     """One full sharded alignment step over a ('dp', 'sp') mesh.
 
-    The "training step" of this framework is a full batched search round:
-    every event's request is a row block, data-parallel over 'dp'; each
-    request's wide window is lag-chunked over 'sp'.  Executing it jitted
-    over the mesh exercises the real shardings end to end (gather, FFT,
-    rescore, argmin-combine collectives).
+    The heavy step of this framework is a full batched search round (an
+    inference-style search, not training): every event's request is a row
+    block, data-parallel over 'dp'; each request's wide window is
+    lag-chunked over 'sp'.  Executing it jitted over the mesh exercises
+    the real shardings end to end (gather, FFT, rescore, argmin-combine
+    collectives).
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 

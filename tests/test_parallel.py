@@ -65,10 +65,10 @@ def test_wide_window_search_full_mesh_rows(mesh8):
     assert np.all(np.asarray(scores) < 1e-5)
 
 
-def test_training_step_sharded(mesh8):
-    from sushi_tpu.models.aligner import training_step_sharded
+def test_sharded_alignment_step(mesh8):
+    from sushi_tpu.models.aligner import sharded_alignment_step
 
-    step, args = training_step_sharded(mesh8, fft_size=2048, rescore_k=8)
+    step, args = sharded_alignment_step(mesh8, fft_size=2048, rescore_k=8)
     scores, lags = step(*args)
     assert scores.shape == (4,)
     assert float(np.max(np.asarray(scores))) < 1e-3
@@ -111,6 +111,50 @@ def test_execute_planned_shards_over_production_mesh():
         window = dst_host[item.win_start : item.win_start + item.win_len]
         _, oracle_lag = oracle_match(pattern, window)
         assert abs((abs_sample - item.win_start) - oracle_lag) <= 1
+
+
+def test_wide_window_chunks_shard_over_production_mesh(monkeypatch):
+    """The production combination the dryrun's fixture test only
+    approximated: ONE oversized request (win_len > _MAX_FFT) driven
+    through execute_planned on the multi-device production mesh — its lag
+    chunks must ride the sharded kernel's row axis and the host combine
+    (batcher.execute_planned_multi's wide_parents merge) must stay
+    oracle-exact."""
+    import jax.numpy as jnp
+
+    from sushi_tpu.align import batcher
+    from sushi_tpu.ops.sqdiff import oracle_match
+
+    monkeypatch.setattr(batcher, "_MAX_FFT", 1 << 13)  # force lag chunking
+    mesh = batcher.production_mesh()
+    assert mesh is not None and mesh.devices.size >= 2
+
+    rng = np.random.RandomState(19)
+    dst_host = rng.rand(60000).astype(np.float32)
+    src_host = np.zeros(60000, np.float32)
+    pat_len = 500
+    lag = 41000  # deep in a late chunk, so the combine must cross chunks
+    src_host[1000 : 1000 + pat_len] = dst_host[lag : lag + pat_len]
+    item = batcher.PlannedSearch(
+        key="wide", pat_start=1000, pat_len=pat_len,
+        win_start=0, win_len=50000, start_time=0.0, sample_rate=12000,
+    )
+    src_dev = batcher._replicate_on_mesh(jnp.asarray(np.pad(src_host, (0, 1 << 14))))
+    dst_dev = batcher._replicate_on_mesh(jnp.asarray(np.pad(dst_host, (0, 1 << 14))))
+    batcher.TELEMETRY.reset()
+    results = batcher.execute_planned(src_dev, dst_dev, [item])
+    assert batcher._SHARDED_MATCH, "wide chunks did not take the sharded kernel"
+    stats = batcher.TELEMETRY.rounds[-1]
+    assert stats.host_fallbacks == 0
+    chunk_rows = sum(v[0] for v in stats.buckets.values())
+    assert chunk_rows > 1, "window was not lag-chunked"
+    padded_rows = sum(v[1] for v in stats.buckets.values())
+    assert padded_rows % mesh.devices.size == 0, "chunk rows not device-aligned"
+
+    score, _, abs_sample = results["wide"]
+    oracle_score, oracle_lag = oracle_match(src_host[1000 : 1000 + pat_len], dst_host[:50000])
+    assert abs(abs_sample - oracle_lag) <= 1
+    assert score == pytest.approx(oracle_score, abs=1e-4)
 
 
 def test_mesh_disabled_by_env(monkeypatch):
