@@ -184,24 +184,64 @@ def store_alignment_seed(src_key: str, dst_key: str, delta0: int) -> None:
         _log.debug("alignment seed write failed: %s", error)
 
 
+# deferred cache writes (upload=True loads): one writer thread keeps the
+# 34 MB np.save off the cold path's critical path.  The buffer is immutable
+# once prepared, so writing late is safe; a crash before the write lands is
+# just a cache miss next run.
+_WRITER: Optional[ThreadPoolExecutor] = None
+
+
+def _writer() -> ThreadPoolExecutor:
+    global _WRITER
+    if _WRITER is None:
+        _WRITER = ThreadPoolExecutor(max_workers=1, thread_name_prefix="stream-cache-write")
+    return _WRITER
+
+
+def flush_writes() -> None:
+    """Block until deferred cache writes land (tests; season teardown)."""
+    if _WRITER is not None:
+        _WRITER.submit(lambda: None).result()
+
+
 def load_stream(
     path: str,
     sample_rate: int = 12000,
     sample_type: str = "uint8",
     use_native: bool = True,
+    upload: bool = False,
 ) -> AudioStream:
-    """AudioStream via the disk memo; falls through to a real ingest."""
+    """AudioStream via the disk memo; falls through to a real ingest.
+
+    ``upload=True`` pipelines the cold path: the prepared buffer goes to
+    the device (``batcher.upload_stream`` — memoized, so the later
+    DeviceMatcher construction is a hit) *immediately*, before the disk
+    cache write, which is deferred to a background thread.  On this class
+    of host the decode is CPU-bound and the upload wire-bound, so a pair
+    loaded on two threads overlaps one stream's upload with the other's
+    decode instead of paying decode + decode + upload + upload serially.
+    """
     directory = cache_dir()
     key = stream_key(path, sample_rate, sample_type) if directory else None
+    stream = None
     if directory and key:
         cached = _try_read(directory, key)
         if cached is not None:
             _log.info("Loaded prepared stream for %s from cache", path)
-            return cached
-    stream = AudioStream(path, sample_rate, sample_type, use_native=use_native)
-    stream.cache_key = key
-    if directory and key:
-        _write(directory, key, stream)
+            stream = cached
+    fresh = stream is None
+    if fresh:
+        stream = AudioStream(path, sample_rate, sample_type, use_native=use_native)
+        stream.cache_key = key
+    if upload:
+        from sushi_tpu.align.batcher import upload_stream
+
+        upload_stream(stream)
+    if fresh and directory and key:
+        if upload:
+            _writer().submit(_write, directory, key, stream)
+        else:
+            _write(directory, key, stream)
     return stream
 
 
@@ -211,12 +251,13 @@ def load_pair(
     sample_rate: int = 12000,
     sample_type: str = "uint8",
     use_native: bool = True,
+    upload: bool = False,
 ) -> Tuple[AudioStream, AudioStream]:
     """Load both streams concurrently (ctypes ingest releases the GIL)."""
     if src_path == dst_path:
-        stream = load_stream(src_path, sample_rate, sample_type, use_native)
+        stream = load_stream(src_path, sample_rate, sample_type, use_native, upload)
         return stream, stream
     with ThreadPoolExecutor(max_workers=2) as pool:
-        src_future = pool.submit(load_stream, src_path, sample_rate, sample_type, use_native)
-        dst_future = pool.submit(load_stream, dst_path, sample_rate, sample_type, use_native)
+        src_future = pool.submit(load_stream, src_path, sample_rate, sample_type, use_native, upload)
+        dst_future = pool.submit(load_stream, dst_path, sample_rate, sample_type, use_native, upload)
         return src_future.result(), dst_future.result()

@@ -289,6 +289,7 @@ def run(args) -> None:
         src_stream, dst_stream = load_pair(
             src_audio_path, dst_audio_path,
             sample_rate=args.sample_rate, sample_type=args.sample_type,
+            upload=True,  # pipeline decode with device upload (cold path)
         )
 
         search_groups = prepare_search_groups(

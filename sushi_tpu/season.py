@@ -292,7 +292,9 @@ def _prepare_episode(
         kf_data = _job_keyframe_data(job)
     script = load_script(job.script)
     script.sort_by_time()
-    src_stream, dst_stream = load_pair(src_audio, dst_audio, sample_rate, sample_type)
+    src_stream, dst_stream = load_pair(
+        src_audio, dst_audio, sample_rate, sample_type, upload=True
+    )
     # chapters: explicit per-job file wins, else container chapters —
     # grouping must honor them like the single-episode pipeline
     # (typesetting merges are chapter-bounded and post-processing averages
