@@ -225,6 +225,11 @@ def main():
         "--season", action="store_true",
         help="soak the season batch path: merged rounds vs single runs, byte-compared",
     )
+    parser.add_argument(
+        "--artifact", metavar="PATH",
+        help="append a JSON record of this run (mode/iterations/failures/seed/"
+             "backend/wall) to PATH, so long soaks are evidence, not memory",
+    )
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO, format="%(message)s")
@@ -237,10 +242,31 @@ def main():
         iteration = run_season_iteration if args.season else run_iteration
         if not iteration(rng, index):
             failures += 1
+    wall = time.time() - started
     logging.info(
-        "soak done: %d/%d ok in %.1fs", args.iterations - failures, args.iterations,
-        time.time() - started,
+        "soak done: %d/%d ok in %.1fs", args.iterations - failures, args.iterations, wall,
     )
+    if args.artifact:
+        import json
+
+        import jax
+
+        record = {
+            "mode": "season" if args.season else "single",
+            "iterations": args.iterations,
+            "failures": failures,
+            "seed": args.seed,
+            "backend": jax.default_backend(),
+            "wall_seconds": round(wall, 1),
+        }
+        try:
+            with open(args.artifact, "r", encoding="utf-8") as handle:
+                records = json.load(handle)
+        except (OSError, ValueError):
+            records = []
+        records.append(record)
+        with open(args.artifact, "w", encoding="utf-8") as handle:
+            json.dump(records, handle, indent=1)
     sys.exit(1 if failures else 0)
 
 
