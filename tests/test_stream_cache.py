@@ -92,3 +92,30 @@ def test_load_pair_parallel(tmp_path, cache_env):
     src, dst = stream_cache.load_pair(a, b, 12000, "uint8")
     assert not np.array_equal(np.asarray(src.data), np.asarray(dst.data))
     assert src.cache_key != dst.cache_key
+
+
+def test_upload_load_pipelines_device_and_defers_write(tmp_path, cache_env):
+    """The cold path (upload=True): the buffer reaches the device upload
+    memo immediately (so DeviceMatcher construction is a hit), the disk
+    write is deferred to the background writer, and once flushed a second
+    load is a bit-identical cache hit."""
+    from sushi_tpu.align import batcher
+
+    a = _write_episode(tmp_path, "a.wav", seed=3)
+    b = _write_episode(tmp_path, "b.wav", seed=4)
+    src, dst = stream_cache.load_pair(a, b, 12000, "uint8", upload=True)
+
+    # device residency landed during the load
+    with batcher._MEMO_LOCK:
+        assert src.cache_key in batcher._UPLOAD_MEMO
+        assert dst.cache_key in batcher._UPLOAD_MEMO
+
+    # the deferred disk write lands by the flush barrier at the latest
+    stream_cache.flush_writes()
+    names = os.listdir(cache_env)
+    assert any(name.startswith(src.cache_key) for name in names)
+    assert any(name.startswith(dst.cache_key) for name in names)
+
+    cached_src = stream_cache.load_stream(a, 12000, "uint8")
+    assert np.array_equal(np.asarray(cached_src.data), np.asarray(src.data))
+    assert cached_src.padding_size == src.padding_size
