@@ -467,23 +467,30 @@ def measure_kernel_throughput():
             )
 
         np.asarray(dispatch())  # warm the executable
+        # min over repeats: relay contention and queue jitter only ever ADD
+        # time, so the min is the honest device-capability number (a single
+        # sample was measured swinging the per-shape ratio by ~20% run to
+        # run, which is noise, not kernel change)
         iterations = 12
-        t0 = time.time()
-        packed = None
-        for _ in range(iterations):
-            packed = dispatch()
-        np.asarray(packed)  # one fetch drains the whole queue
-        elapsed = time.time() - t0
-
-        t0 = time.time()
-        np.asarray(dispatch())
-        single = time.time() - t0  # 1*execute + wire
-        execute = max((elapsed - single) / (iterations - 1), 1e-9)
+        execute = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            packed = None
+            for _ in range(iterations):
+                packed = dispatch()
+            np.asarray(packed)  # one fetch drains the whole queue
+            elapsed = time.time() - t0
+            t0 = time.time()
+            np.asarray(dispatch())
+            single = time.time() - t0  # 1*execute + wire
+            execute = min(execute, max((elapsed - single) / (iterations - 1), 1e-9))
 
         # the same single search through the reference's native engine
         # (cv2.matchTemplate, DFT path at these sizes) on this host — the
         # honest apples-to-apples KERNEL ratio: per-search device time vs
-        # per-search cv2 time at identical pattern/window sizes
+        # per-search cv2 time at identical pattern/window sizes.  Same
+        # discipline on the denominator: min over samples, so host load
+        # spikes can't flatter the ratio either way.
         import cv2
 
         win_np = (
@@ -491,11 +498,11 @@ def measure_kernel_throughput():
         )
         pat_np = win_np[:, 5000 : 5000 + 30000].copy()
         cv2.matchTemplate(win_np, pat_np, cv2.TM_SQDIFF_NORMED)  # warm
-        t0 = time.time()
-        cv2_iters = 3
-        for _ in range(cv2_iters):
+        cv2_per_search = float("inf")
+        for _ in range(5):
+            t0 = time.time()
             cv2.matchTemplate(win_np, pat_np, cv2.TM_SQDIFF_NORMED)
-        cv2_per_search = (time.time() - t0) / cv2_iters
+            cv2_per_search = min(cv2_per_search, time.time() - t0)
 
         gflop = batch * kernel_flop_model(fft_size, pat_cap, coarse_pool=coarse_pool or 1) / 1e9
         gathered_gb = batch * fft_size * 2 * 4 / 1e9
@@ -527,24 +534,35 @@ def run_season_soak(iterations=3):
     import subprocess
 
     repo = os.path.dirname(os.path.abspath(__file__))
-    t0 = time.time()
-    try:
-        result = subprocess.run(
-            [sys.executable, "tools/soak.py", str(iterations), "--season"],
-            cwd=repo, capture_output=True, text=True, timeout=1800,
+    for attempt in range(2):
+        t0 = time.time()
+        try:
+            result = subprocess.run(
+                [sys.executable, "tools/soak.py", str(iterations), "--season"],
+                cwd=repo, capture_output=True, text=True, timeout=1800,
+            )
+            output = (result.stderr or "") + (result.stdout or "")
+            if result.returncode == 0:
+                passed = True
+            elif "soak done:" in output:
+                passed = False  # ran to completion, byte-compare failed: real
+            else:
+                passed = None  # crashed before one pass: infra, retriable
+            tail = output.strip().splitlines()[-(8 if passed is None else 2):]
+        except (subprocess.SubprocessError, OSError) as error:
+            passed, tail = None, [str(error)]
+        for line in tail:
+            log("bench: season soak | " + line)
+        log(
+            "bench: season soak (%d iters) %s in %.1fs"
+            % (iterations, {True: "PASSED", False: "FAILED", None: "DID NOT RUN"}[passed],
+               time.time() - t0)
         )
-        passed = result.returncode == 0
-        tail = (result.stderr or result.stdout).strip().splitlines()[-2:]
-    except (subprocess.SubprocessError, OSError) as error:
-        passed, tail = None, [str(error)]
-    for line in tail:
-        log("bench: season soak | " + line)
-    log(
-        "bench: season soak (%d iters) %s in %.1fs"
-        % (iterations, {True: "PASSED", False: "FAILED", None: "DID NOT RUN"}[passed],
-           time.time() - t0)
-    )
-    return passed, iterations if passed is not None else 0
+        if passed is not None:
+            return passed, iterations
+        if attempt == 0:
+            log("bench: season soak retrying (crash is infra, not a byte-compare verdict)")
+    return None, 0
 
 
 def run_soak(iterations=12):
@@ -570,8 +588,21 @@ def run_soak(iterations=12):
                 [sys.executable, "tools/soak.py", str(attempt_iters)],
                 cwd=repo, capture_output=True, text=True, timeout=timeout,
             )
-            passed = result.returncode == 0
-            tail = (result.stderr or result.stdout).strip().splitlines()[-2:]
+            output = (result.stderr or "") + (result.stdout or "")
+            if result.returncode == 0:
+                passed = True
+            elif "soak done:" in output:
+                # the soak RAN to completion and found decision mismatches —
+                # a real kernel-parity failure, never retried away
+                passed = False
+            else:
+                # died before finishing a single pass (relay outage, backend
+                # crash): an infrastructure failure, not a parity verdict —
+                # retriable exactly like the timeout path (one observed case:
+                # a JAX backend error 19s in, while an immediate rerun of the
+                # identical code passed)
+                passed = None
+            tail = output.strip().splitlines()[-(8 if passed is None else 2):]
         except (subprocess.SubprocessError, OSError) as error:
             passed, tail = None, [str(error)]
         for line in tail:
@@ -585,7 +616,7 @@ def run_soak(iterations=12):
         if passed is not None:
             return passed, attempt_iters
         if attempt_iters != 4:
-            log("bench: soak retrying at fewer iterations (compile cache is now part-warm)")
+            log("bench: soak retrying (crash/timeout is infra, not a parity verdict)")
     return None, 0
 
 
