@@ -963,9 +963,20 @@ class ReplayPredictor:
         self._delta: List[Optional[int]] = [None] * len(spans)
         self._effective: List[int] = [delta0] * len(spans)
 
-    def observe(self, request: SearchRequest, abs_sample: int) -> None:
+    # Only trust observations that look like a real match.  A probe searched
+    # at a wrong center (mis-seeded region, pre-rewind trajectory) still
+    # returns an argmin — of pure noise, scoring far above any true match —
+    # and recording that junk delta poisons the forward propagation in
+    # :meth:`refresh`: measured on the pathological bench fixture, garbage
+    # observations made the replay heal only ~2 groups per round (10 device
+    # rounds) where score-gated observations converge in a few.  Mis-gating
+    # is purely a performance matter: predictions only steer which requests
+    # batch together; ``finalize`` replays on real results alone.
+    _TRUST_SCORE = 0.5
+
+    def observe(self, request: SearchRequest, abs_sample: int, score: float = 0.0) -> None:
         """Record a real FULL-part result (prefer the widest window)."""
-        if request.part != FULL:
+        if request.part != FULL or score >= self._TRUST_SCORE:
             return
         g = request.group_idx
         if request.window >= self._window_rank[g]:
@@ -1067,8 +1078,8 @@ class SearchSession:
 
     def feed(self, results: Dict[SearchRequest, Tuple[float, float, int]]) -> None:
         self._memo.update(results)
-        for request, (_, _, abs_sample) in results.items():
-            self._predictor.observe(request, abs_sample)
+        for request, (score, _, abs_sample) in results.items():
+            self._predictor.observe(request, abs_sample, score)
 
     def finalize(self) -> List[GroupResult]:
         """Exact final replay on real results only; writes event shifts."""
