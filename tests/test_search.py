@@ -120,6 +120,38 @@ def test_shift_change_mid_episode(tmp_path):
         assert dev.shift == pytest.approx(truth, abs=2e-3)
 
 
+def test_predictor_ignores_garbage_observations(tmp_path):
+    """A high-score result is a noise argmin (probe searched at a wrong
+    center), not evidence of where the pattern lives — recording it used
+    to poison the forward delta propagation and stretch pathological
+    episodes to ~1 healed group per device round.  Gated observations
+    keep the prediction at the inherited delta until a trusted (low
+    score) result arrives; a trusted one updates it exactly."""
+    from sushi_tpu.align.batcher import PatternTable, ReplayPredictor
+    from sushi_tpu.align.machine import FULL, SearchRequest
+
+    src, dst = make_pair(str(tmp_path), 22.0, EVENTS, dst_shift=2.0, seed=3)
+    spans = groups_to_spans(make_groups(EVENTS), src)
+    delta0 = int(2.0 * dst.sample_rate)
+    predictor = ReplayPredictor(spans, dst, PatternTable(spans), delta0)
+    request = SearchRequest(0, FULL, EVENTS[0][0] + 2.0, 10)
+
+    predictor.refresh()
+    baseline = predictor.predict(request)
+
+    # garbage: plausible-looking sample, implausible score -> ignored
+    predictor.observe(request, spans[0].pat_start + delta0 + 7777, score=0.93)
+    predictor.refresh()
+    assert predictor.predict(request) == baseline
+
+    # trusted: low score -> the delta updates and shifts the prediction
+    predictor.observe(request, spans[0].pat_start + delta0 + 7777, score=0.002)
+    predictor.refresh()
+    shifted = predictor.predict(request)
+    assert shifted != baseline
+    assert shifted[2] == baseline[2] + 7777
+
+
 def test_out_of_range_groups_link_back(tmp_path):
     # dst audio ends at 9s; later groups cannot be searched
     events = [(2.0, 3.6), (5.0, 6.4), (30.0, 31.4), (33.0, 34.4)]
