@@ -361,3 +361,45 @@ def test_padded_batch_shapes_bounded_for_any_device_count():
             assert padded >= b and padded % devices == 0, (devices, b, padded)
     for b, want in ((1, 1), (2, 8), (8, 8), (9, 32), (33, 64), (65, 128), (128, 128)):
         assert _padded_batch(b, 1) == want
+
+
+def test_packed_correlation_matches_classic():
+    """The pair-packed c2c correlation (1 c2c/row + 1 c2c/pair) must match
+    the textbook 2-rfft + 1-irfft formulation to FFT noise for even
+    batches, and odd batches must take the classic path bit-exactly —
+    including rows narrower than fft_size (implicit zero padding)."""
+    from sushi_tpu.ops.sqdiff import _correlate_rows
+
+    rng = np.random.RandomState(11)
+
+    def classic(pats, wins, n):
+        return np.asarray(jnp.fft.irfft(
+            jnp.fft.rfft(wins, n=n) * jnp.conj(jnp.fft.rfft(pats, n=n)), n=n
+        ))
+
+    for batch, rows, n in ((8, 2048, 2048), (6, 1024, 2048), (1, 512, 1024), (5, 512, 512)):
+        pats = rng.randn(batch, rows).astype(np.float32)
+        wins = rng.randn(batch, rows).astype(np.float32)
+        got = np.asarray(_correlate_rows(jnp.asarray(pats), jnp.asarray(wins), n))
+        ref = classic(jnp.asarray(pats), jnp.asarray(wins), n)
+        assert got.shape == ref.shape == (batch, n)
+        scale = max(float(np.max(np.abs(ref))), 1e-9)
+        if batch < 2 or batch % 2:
+            np.testing.assert_array_equal(got, ref)  # classic path verbatim
+        else:
+            np.testing.assert_allclose(got, ref, rtol=0, atol=5e-5 * scale)
+
+
+def test_packed_correlation_env_gate(monkeypatch):
+    """SUSHI_PACKED_FFT=0 must pin the classic formulation (bit-exact)."""
+    from sushi_tpu.ops.sqdiff import _correlate_rows
+
+    rng = np.random.RandomState(12)
+    pats = jnp.asarray(rng.randn(4, 1024).astype(np.float32))
+    wins = jnp.asarray(rng.randn(4, 1024).astype(np.float32))
+    monkeypatch.setenv("SUSHI_PACKED_FFT", "0")
+    gated = np.asarray(_correlate_rows(pats, wins, 1024))
+    ref = np.asarray(jnp.fft.irfft(
+        jnp.fft.rfft(wins, n=1024) * jnp.conj(jnp.fft.rfft(pats, n=1024)), n=1024
+    ))
+    np.testing.assert_array_equal(gated, ref)

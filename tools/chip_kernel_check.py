@@ -29,6 +29,12 @@ def main() -> int:
 
     from sushi_tpu.ops.pallas_ssd import rescore_candidates_pallas
     from sushi_tpu.ops.sqdiff import _rescore_candidates
+    from sushi_tpu.utils import compile_cache
+
+    # standalone runs must persist compiles like bench-spawned runs do
+    # (bench injects JAX_COMPILATION_CACHE_DIR; a cold standalone run
+    # otherwise spends many minutes recompiling every checked shape)
+    compile_cache.enable(os.path.join(REPO, ".jax_cache"))
 
     backend = jax.default_backend()
     if backend != "tpu":
