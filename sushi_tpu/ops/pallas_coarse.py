@@ -115,16 +115,23 @@ def _kernel(
         [sq, jnp.zeros((cap_rows + 1, _LANES), jnp.float32)], axis=0
     )
 
-    # --- inclusive two-float prefix along lanes (within each row) ---
-    hi, lo = sq_ext, jnp.zeros_like(sq_ext)
+    # --- inclusive PLAIN-f32 prefix along lanes (within each row) ---
+    # Row-local: its error is bounded by the 128-sample row sums (~7 eps
+    # relative to one row), NOT the stream, so compensating it buys ~1e-9
+    # of the energy while costing ~5x the VPU ops (two_sum is ~10 ops per
+    # shifted add; this prefix over the whole (rows, 128) array dominated
+    # the kernel's compute).  The cross-row carry below STAYS two-float —
+    # it spans the whole window, where plain f32 would lose eps*P(n)
+    # against E(u), the error class compensation exists for.
+    hi = sq_ext
     shift = 1
     while shift < _LANES:
-        hi, lo = _two_sum(hi, lo, _lane_shift_right(hi, shift), _lane_shift_right(lo, shift))
+        hi = hi + _lane_shift_right(hi, shift)
         shift *= 2
 
     # --- exclusive carry across sublane rows (log-doubling two-float) ---
     tot_hi = hi[:, _LANES - 1 :]  # (rows_ext, 1), kept 2-D for Mosaic
-    tot_lo = lo[:, _LANES - 1 :]
+    tot_lo = jnp.zeros_like(tot_hi)
     # exclusive: shift row totals down one, then inclusive-scan
     carry_hi = _sublane_shift_down(tot_hi, 1)
     carry_lo = _sublane_shift_down(tot_lo, 1)
@@ -138,9 +145,8 @@ def _kernel(
 
     # exclusive lane prefix = inclusive shifted right one lane
     excl_hi = _lane_shift_right(hi, 1)
-    excl_lo = _lane_shift_right(lo, 1)
     # P(u) at (row r, lane l): carry(r) + lane_excl(r, l), as (hi, lo)
-    p_hi_ext, p_lo_ext = _two_sum(carry_hi, carry_lo, excl_hi, excl_lo)
+    p_hi_ext, p_lo_ext = _two_sum(carry_hi, carry_lo, excl_hi, jnp.zeros_like(excl_hi))
     p_hi = p_hi_ext[:rows]
     p_lo = p_lo_ext[:rows]
 
@@ -251,12 +257,14 @@ def _kernel_tiled(
     def _prefix():
         window = win_ref[0]
         sq = window * window
-        # inclusive two-float prefix along lanes (identical to _kernel)
-        hi, lo = sq, jnp.zeros_like(sq)
+        # inclusive PLAIN-f32 prefix along lanes (identical to _kernel:
+        # row-local error, so compensation is spent on the carry only)
+        hi = sq
         shift = 1
         while shift < _LANES:
-            hi, lo = _two_sum(hi, lo, _lane_shift_right(hi, shift), _lane_shift_right(lo, shift))
+            hi = hi + _lane_shift_right(hi, shift)
             shift *= 2
+        lo = jnp.zeros_like(hi)
         tot_hi = hi[:, _LANES - 1 :]
         tot_lo = lo[:, _LANES - 1 :]
         carry_hi = _sublane_shift_down(tot_hi, 1)

@@ -44,6 +44,14 @@ import numpy as np
 
 _LANES = 128  # TPU vector lane count; batch/shape padding granularity
 
+# Kernel-path gates, read ONCE at import: these select among numerically
+# equivalent formulations inside jitted entries, so a mid-process env
+# toggle could never reach shapes already compiled into the jit cache —
+# a module constant makes the process-start-only semantics explicit
+# (tests monkeypatch the constant, not the environment).
+_PACKED_FFT = os.environ.get("SUSHI_PACKED_FFT", "1") != "0"
+_FUSED_COARSE = os.environ.get("SUSHI_FUSED_COARSE", "1") != "0"
+
 
 # ---------------------------------------------------------------------------
 # Reference oracle (host, float64) — the ground truth for parity tests.
@@ -215,10 +223,24 @@ def _correlate_rows(
       concatenate on the way out.
     """
     batch = patterns.shape[0]
-    if batch < 2 or batch % 2 or os.environ.get("SUSHI_PACKED_FFT", "1") == "0":
+    if batch < 2 or batch % 2 or not _PACKED_FFT:
         pat_f = jnp.fft.rfft(patterns, n=fft_size)
         win_f = jnp.fft.rfft(windows, n=fft_size)
         return jnp.fft.irfft(win_f * jnp.conj(pat_f), n=fft_size)
+    # MXU four-step hybrid: same packed-pair algebra, the transforms
+    # recast as matmul + batched-FFT stages so the systolic array carries
+    # the FLOPs (chip-measured 2.92 -> 1.58 ms at 64x98304; ops/mxu_dft.py)
+    from sushi_tpu.ops import mxu_dft
+
+    plan = mxu_dft.plan_for(fft_size, batch)
+    if plan is not None:
+        return mxu_dft.correlate_packed(patterns, windows, fft_size, plan)
+    # the packed sum needs equal row widths (the classic path pads each
+    # via rfft(n=fft_size) independently); pad the narrower side up front
+    if patterns.shape[1] != windows.shape[1]:
+        width = max(patterns.shape[1], windows.shape[1])
+        patterns = jnp.pad(patterns, ((0, 0), (0, width - patterns.shape[1])))
+        windows = jnp.pad(windows, ((0, 0), (0, width - windows.shape[1])))
     z = jnp.fft.fft(windows + 1j * patterns, n=fft_size)
     z_rev = jnp.roll(z[:, ::-1], 1, axis=1)  # Z[(n-k) mod n]
     win_f = 0.5 * (z + jnp.conj(z_rev))
@@ -456,7 +478,7 @@ def _coarse_candidates_auto(
 
     use_fused = (
         pallas_coarse.coarse_post_supported(fft_size, pat_cap or fft_size)
-        and os.environ.get("SUSHI_FUSED_COARSE", "1") != "0"
+        and _FUSED_COARSE
         if force_fused is None
         else force_fused
     )

@@ -391,13 +391,16 @@ def test_packed_correlation_matches_classic():
 
 
 def test_packed_correlation_env_gate(monkeypatch):
-    """SUSHI_PACKED_FFT=0 must pin the classic formulation (bit-exact)."""
+    """SUSHI_PACKED_FFT=0 (read once at import into sqdiff._PACKED_FFT —
+    the gate is process-start-only by design, so tests patch the constant)
+    must pin the classic formulation (bit-exact)."""
+    from sushi_tpu.ops import sqdiff as sqdiff_mod
     from sushi_tpu.ops.sqdiff import _correlate_rows
 
     rng = np.random.RandomState(12)
     pats = jnp.asarray(rng.randn(4, 1024).astype(np.float32))
     wins = jnp.asarray(rng.randn(4, 1024).astype(np.float32))
-    monkeypatch.setenv("SUSHI_PACKED_FFT", "0")
+    monkeypatch.setattr(sqdiff_mod, "_PACKED_FFT", False)
     gated = np.asarray(_correlate_rows(pats, wins, 1024))
     ref = np.asarray(jnp.fft.irfft(
         jnp.fft.rfft(wins, n=1024) * jnp.conj(jnp.fft.rfft(pats, n=1024)), n=1024
