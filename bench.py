@@ -78,36 +78,23 @@ def build_fixture():
     return src_wav, dst_wav, script
 
 
-def build_pathological_fixture():
-    """An ~8-min episode that forces the recovery path: a mid-episode +12 s
-    shift jump (destination gains a noise insert, like a sponsor bumper)
-    plus a corrupted span over several events.  The state machine must
-    rewind and escalate window widths (/root/reference/sushi.py:468-479),
-    so syncing it prices the multi-round RTT floor the clean headline
-    episode (device_rounds=1) never pays.  Deterministic seed; same
-    manifest-guard scheme as the main fixture."""
+def _synth_pair(
+    src_wav, dst_wav, script, *, seconds, count, shift, seed,
+    jump=0.0, corrupt=False,
+):
+    """One (src, dst, script) fixture episode with a known true shift.
+
+    ``jump`` > 0 inserts that many seconds of noise mid-episode (a sponsor
+    bumper — the destination's shift jumps, forcing the state machine's
+    rewind/escalation path, /root/reference/sushi.py:468-479); ``corrupt``
+    replaces a few events' destination audio with garbage (no true match
+    exists, exercising the verification splits)."""
     import numpy as np
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from tests.fixtures import shift_audio, synth_episode, write_srt, write_wav_int16
 
-    os.makedirs(BENCH_DIR, exist_ok=True)
-    src_wav = os.path.join(BENCH_DIR, "patho.src.wav")
-    dst_wav = os.path.join(BENCH_DIR, "patho.dst.wav")
-    script = os.path.join(BENCH_DIR, "patho.srt")
-    manifest_path = os.path.join(BENCH_DIR, "patho.json")
-    manifest = {"version": 1, "seconds": 480, "events": 90, "shift": 2.0, "jump": 12.0}
-    try:
-        with open(manifest_path, encoding="utf-8") as handle:
-            cached = json.load(handle)
-    except (OSError, ValueError):
-        cached = None
-    if cached == manifest and all(os.path.exists(p) for p in (src_wav, dst_wav, script)):
-        return src_wav, dst_wav, script
-
-    log("bench: generating pathological fixture episode...")
-    rng = np.random.RandomState(99)
-    seconds, count, shift, jump = 480.0, 90, 2.0, 12.0
+    rng = np.random.RandomState(seed)
     events = []
     cursor = 2.0
     while len(events) < count:
@@ -117,26 +104,108 @@ def build_pathological_fixture():
     scale = (seconds - 10.0) / cursor
     events = [(s * scale, e * scale) for s, e in events]
 
-    audio = synth_episode(seconds, events, seed=5)
+    audio = synth_episode(seconds, events, seed=seed + 1)
     dst_audio = shift_audio(audio, shift)
     dst_audio = (
         dst_audio.astype(np.int32) + rng.randint(-150, 150, len(dst_audio))
     ).astype(np.int16)
-    # corrupted span over events ~20-23: replace with garbage
-    lo = int((events[20][0] + shift) * 48000)
-    hi = int((events[23][1] + shift) * 48000)
-    dst_audio[lo:hi] = rng.randint(-9000, 9000, hi - lo)
-    # mid-episode jump: insert `jump` seconds of noise before event 45
-    cut = int((events[45][0] - 1.0 + shift) * 48000)
-    gap = rng.randint(-300, 300, int(jump * 48000)).astype(np.int16)
-    dst_audio = np.concatenate([dst_audio[:cut], gap, dst_audio[cut:]])
+    if corrupt:
+        # corrupted span over a few mid-episode events: replace with garbage
+        lo = int((events[count // 4][0] + shift) * 48000)
+        hi = int((events[count // 4 + 3][1] + shift) * 48000)
+        dst_audio[lo:hi] = rng.randint(-9000, 9000, hi - lo)
+    if jump > 0.0:
+        # mid-episode jump: insert `jump` seconds of noise at the half point
+        cut = int((events[count // 2][0] - 1.0 + shift) * 48000)
+        gap = rng.randint(-300, 300, int(jump * 48000)).astype(np.int16)
+        dst_audio = np.concatenate([dst_audio[:cut], gap, dst_audio[cut:]])
 
     write_wav_int16(src_wav, audio)
     write_wav_int16(dst_wav, dst_audio)
     write_srt(script, [(s, e, "line %d" % i) for i, (s, e) in enumerate(events)])
+
+
+def build_pathological_fixture():
+    """An ~8-min episode that forces the recovery path: a mid-episode +12 s
+    shift jump (destination gains a noise insert, like a sponsor bumper)
+    plus a corrupted span over several events.  The state machine must
+    rewind and escalate window widths (/root/reference/sushi.py:468-479),
+    so syncing it prices the multi-round RTT floor the clean headline
+    episode (device_rounds=1) never pays.  Deterministic seed; same
+    manifest-guard scheme as the main fixture."""
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    src_wav = os.path.join(BENCH_DIR, "patho.src.wav")
+    dst_wav = os.path.join(BENCH_DIR, "patho.dst.wav")
+    script = os.path.join(BENCH_DIR, "patho.srt")
+    manifest_path = os.path.join(BENCH_DIR, "patho.json")
+    manifest = {"version": 2, "seconds": 480, "events": 90, "shift": 2.0, "jump": 12.0}
+    try:
+        with open(manifest_path, encoding="utf-8") as handle:
+            cached = json.load(handle)
+    except (OSError, ValueError):
+        cached = None
+    if cached == manifest and all(os.path.exists(p) for p in (src_wav, dst_wav, script)):
+        return src_wav, dst_wav, script
+
+    log("bench: generating pathological fixture episode...")
+    _synth_pair(
+        src_wav, dst_wav, script,
+        seconds=480.0, count=90, shift=2.0, seed=99, jump=12.0, corrupt=True,
+    )
     with open(manifest_path, "w", encoding="utf-8") as handle:
         json.dump(manifest, handle)
     return src_wav, dst_wav, script
+
+
+def build_season_fixtures(episodes):
+    """Per-episode VARIED season fixtures (8-min episodes): every episode
+    gets its own seed, true shift, and event count, and two slots carry a
+    mid-episode jump (multi-round rewind episodes), so the season
+    throughput number covers heterogeneous bucket mixes, length outliers,
+    and mid-season recovery — not 24 hardlinks of one friendly pair (the
+    r4 season bench's weakness).  Built once behind a manifest guard
+    (~30 s); returns [(src, dst, script), ...]."""
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    manifest_path = os.path.join(BENCH_DIR, "season_fixtures.json")
+    manifest = {"version": 1, "episodes": episodes, "seconds": 480}
+    specs = []
+    for i in range(episodes):
+        specs.append({
+            "src": os.path.join(BENCH_DIR, "season.ep%02d.src.wav" % i),
+            "dst": os.path.join(BENCH_DIR, "season.ep%02d.dst.wav" % i),
+            "script": os.path.join(BENCH_DIR, "season.ep%02d.srt" % i),
+            "count": 55 + (i * 7) % 41,          # 55..95 events
+            "shift": 0.8 + (i * 0.37) % 3.8,      # 0.8..4.6 s
+            "seed": 1000 + i,
+            "jump": 12.0 if i in (5, 17) else 0.0,
+        })
+    try:
+        with open(manifest_path, encoding="utf-8") as handle:
+            cached = json.load(handle)
+    except (OSError, ValueError):
+        cached = None
+    if cached == manifest and all(
+        os.path.exists(p) for s in specs for p in (s["src"], s["dst"], s["script"])
+    ):
+        return [(s["src"], s["dst"], s["script"]) for s in specs]
+
+    log("bench: generating %d varied season fixture episodes..." % episodes)
+    started = time.time()
+    for s in specs:
+        for p in (s["src"], s["dst"], s["script"]):
+            # pre-r5 benches HARDLINKED these names to the main fixture;
+            # writing through a stale link would corrupt src.wav in place
+            if os.path.exists(p):
+                os.unlink(p)
+        _synth_pair(
+            s["src"], s["dst"], s["script"],
+            seconds=480.0, count=s["count"], shift=s["shift"], seed=s["seed"],
+            jump=s["jump"],
+        )
+    with open(manifest_path, "w", encoding="utf-8") as handle:
+        json.dump(manifest, handle)
+    log("bench: season fixtures built in %.1fs" % (time.time() - started))
+    return [(s["src"], s["dst"], s["script"]) for s in specs]
 
 
 class _Args:
@@ -281,38 +350,72 @@ def measure_search_execute(matcher, requests, attempts=3, repeat=9):
     return execute, wire, gflop
 
 
-def measure_cold(src_wav, dst_wav, script):
-    """Cold, never-seen-media sync — the one workload the round-3 rebuild
-    still lost to the baseline.  Fresh file copies defeat every memo (the
-    stream cache, upload memo, and alignment seed key on path + mtime), so
-    the run pays decode + device upload + whole-stream seed + search.
+def measure_cold(src_wav, dst_wav, script, attempts=2):
+    """Cold, never-seen-media sync — the workload the rebuild lost through
+    round 4.  Fresh file copies each attempt defeat every memo (the stream
+    cache, upload memo, and alignment seed key on path + mtime), so every
+    attempt pays decode + device upload + whole-stream seed + search.
     Compiled executables stay warm, matching both the serving story (new
     episode arriving at a long-lived process) and the cv2 baseline's cold
-    number (whose cv2/NumPy code is equally warm)."""
+    number (whose cv2/NumPy code is equally warm).
+
+    Best-of-N with a per-attempt stage decomposition: the r4 driver and
+    local runs measured 5.7 s vs 2.6 s for this SAME workload with no
+    address for the gap — the decomposition (decode / upload / seed /
+    search / other) says where a slow attempt's time went, and the min is
+    the honest capability number under the same discipline the kernel
+    timings use."""
     import shutil
 
+    from sushi_tpu.align import batcher
+    from sushi_tpu.media import stream_cache
     from sushi_tpu.pipeline import run
 
-    cold_dir = os.path.join(BENCH_DIR, "cold")
-    shutil.rmtree(cold_dir, ignore_errors=True)
-    os.makedirs(cold_dir)
-    src_c = os.path.join(cold_dir, "src.wav")
-    dst_c = os.path.join(cold_dir, "dst.wav")
-    script_c = os.path.join(cold_dir, "in.srt")
-    shutil.copy(src_wav, src_c)
-    shutil.copy(dst_wav, dst_c)
-    shutil.copy(script, script_c)
+    best = float("inf")
+    best_split = {}
+    for attempt in range(attempts):
+        cold_dir = os.path.join(BENCH_DIR, "cold")
+        shutil.rmtree(cold_dir, ignore_errors=True)
+        os.makedirs(cold_dir)
+        src_c = os.path.join(cold_dir, "src.wav")
+        dst_c = os.path.join(cold_dir, "dst.wav")
+        script_c = os.path.join(cold_dir, "in.srt")
+        shutil.copy(src_wav, src_c)
+        shutil.copy(dst_wav, dst_c)
+        shutil.copy(script, script_c)
 
-    args = _Args()
-    args.source = src_c
-    args.destination = dst_c
-    args.script_file = script_c
-    args.output_script = os.path.join(cold_dir, "out.srt")
-    t0 = time.time()
-    run(args)
-    cold = time.time() - t0
-    log("bench: cold never-seen-media sync %.2fs" % cold)
-    return cold
+        args = _Args()
+        args.source = src_c
+        args.destination = dst_c
+        args.script_file = script_c
+        args.output_script = os.path.join(cold_dir, "out.srt")
+        stream_cache.reset_ingest_stats()
+        batcher.SEED_STATS["seed_seconds"] = 0.0
+        from sushi_tpu.align.batcher import TELEMETRY
+
+        TELEMETRY.reset()
+        t0 = time.time()
+        run(args)
+        cold = time.time() - t0
+        ingest = dict(stream_cache.INGEST_STATS)
+        search = TELEMETRY.summary()
+        # decode+upload run on two overlapped threads, so their SUM can
+        # exceed the wall clock they occupy — they are addresses, not a
+        # partition; "other" closes the balance vs the wall clock
+        split = {
+            "cold_decode_seconds": round(ingest["decode_seconds"], 3),
+            "cold_upload_seconds": round(ingest["upload_seconds"], 3),
+            "cold_seed_seconds": round(batcher.SEED_STATS["seed_seconds"], 3),
+            "cold_search_device_seconds": round(
+                search["dispatch_seconds"] + search["fetch_seconds"], 3
+            ),
+        }
+        log("bench: cold attempt %d: %.2fs %s" % (attempt, cold, json.dumps(split)))
+        if cold < best:
+            best = cold
+            best_split = split
+    log("bench: cold never-seen-media sync %.2fs (best of %d)" % (best, attempts))
+    return best, best_split
 
 
 def measure_pathological():
@@ -344,25 +447,24 @@ def measure_pathological():
     return seconds, int(summary["rounds"]), int(summary["requests"])
 
 
-def measure_season(src_wav, dst_wav, script, episodes=12):
-    """Season batch sync throughput (BASELINE config 5: 12 episodes
-    streamed through shared device rounds, demux/ingest pipelined on host
-    threads).  Episodes are hardlinked copies so each is a distinct file:
-    every episode pays its own ingest/cache/upload path.  ffmpeg isn't
-    installed on this box, so sources are WAV — the container demux flow
-    is exercised by tests/test_season.py with a PATH-shimmed ffmpeg."""
+def measure_season(episodes=12):
+    """Season batch sync throughput (BASELINE config 5: episodes streamed
+    through shared device rounds, demux/ingest pipelined on host threads).
+    Episodes are per-episode VARIED 8-min fixtures (distinct seeds, shifts,
+    event counts; two mid-season rewind episodes — see
+    build_season_fixtures), so merged rounds see heterogeneous bucket
+    mixes and a multi-round episode.  NOT comparable to pre-r5 season
+    numbers, which timed 24 hardlinks of one identical 24-min pair.
+    ffmpeg isn't installed on this box, so sources are WAV — the container
+    demux flow is exercised by tests/test_season.py with a PATH-shimmed
+    ffmpeg."""
     from sushi_tpu.season import SeasonJob, sync_season
 
-    jobs = []
-    for i in range(episodes):
-        src_i = os.path.join(BENCH_DIR, "season.ep%02d.src.wav" % i)
-        dst_i = os.path.join(BENCH_DIR, "season.ep%02d.dst.wav" % i)
-        for target, source in ((src_i, src_wav), (dst_i, dst_wav)):
-            if not os.path.exists(target):
-                os.link(source, target)
-        jobs.append(
-            SeasonJob(src_i, dst_i, script, os.path.join(BENCH_DIR, "season.out.%d.srt" % i))
-        )
+    fixtures = build_season_fixtures(24)[:episodes]
+    jobs = [
+        SeasonJob(src_i, dst_i, script_i, os.path.join(BENCH_DIR, "season.out.%d.srt" % i))
+        for i, (src_i, dst_i, script_i) in enumerate(fixtures)
+    ]
     # best-of-N: the first call absorbs cold stream-cache ingest for all
     # episodes, the second the per-process executable warmup; the best
     # reflects steady-state serving.  Larger seasons get extra attempts —
@@ -403,11 +505,14 @@ def measure_season(src_wav, dst_wav, script, episodes=12):
     return elapsed, decomposition
 
 
-def measure_relay_rtt():
-    """One jit-dispatch + tiny fetch: the per-round latency floor this host
+def measure_relay_rtt(probes=20):
+    """Jit-dispatch + tiny fetch: the per-round latency floor this host
     pays to reach the chip.  On a local TPU this is ~0; through the tunnel
-    it is tens of ms — reported so the wall-clock numbers can be read
-    against the BASELINE '<1s device time' target."""
+    it is tens of ms.  Reports (min, median, p90) over ``probes`` samples —
+    the same statistical discipline the kernel timings use — so cross-round
+    wall-clock comparisons can be read against relay weather: a fat
+    median-minus-min spread means the relay was congested, not the code
+    slower."""
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -416,13 +521,21 @@ def measure_relay_rtt():
     probe = jnp.zeros((2,), jnp.float32)
     np.asarray(bump(probe))
     samples = []
-    for _ in range(5):
+    for _ in range(probes):
         t0 = time.time()
         np.asarray(bump(probe))
         samples.append(time.time() - t0)
-    rtt = sorted(samples)[len(samples) // 2]
-    log("bench: device round-trip (jit dispatch + tiny fetch): %.1fms median" % (rtt * 1e3))
-    return rtt
+    samples.sort()
+    stats = {
+        "min": samples[0],
+        "median": samples[len(samples) // 2],
+        "p90": samples[min(int(len(samples) * 0.9), len(samples) - 1)],
+    }
+    log(
+        "bench: device round-trip over %d probes: min %.1fms / median %.1fms / p90 %.1fms"
+        % (probes, stats["min"] * 1e3, stats["median"] * 1e3, stats["p90"] * 1e3)
+    )
+    return stats
 
 
 # TPU v5e (1 chip) public peaks, for honest utilization ratios
@@ -447,8 +560,14 @@ def measure_kernel_throughput():
     rng = np.random.RandomState(0)
     stream = jnp.asarray(rng.randint(0, 256, 1 << 25).astype(np.uint8))
     shapes = []
-    # pat_cap mirrors production: _fft_bucket(30000) = 32768 at every shape
-    for fft_size, batch, pat_cap in ((98304, 64, 32768), (131072, 128, 32768), (524288, 128, 32768)):
+    # pat_cap mirrors production: _fft_bucket(30000) = 32768 at every shape.
+    # 393216 (3*2^17) is the bucket a 30s escalation window actually lands
+    # in (360000 + pattern samples at 12 kHz); 524288 (pow2) is kept for
+    # cross-round continuity with r3/r4 artifacts
+    for fft_size, batch, pat_cap in (
+        (98304, 64, 32768), (131072, 128, 32768),
+        (393216, 128, 32768), (524288, 128, 32768),
+    ):
         starts = rng.randint(0, 1 << 24, batch).astype(np.int32)
         bounds = jnp.asarray(np.array(
             [starts, np.full(batch, 30000, np.int32),
@@ -843,21 +962,26 @@ def main():
 
     ours = measure_ours(src_wav, dst_wav, script)
     worst = check_output_correctness()
-    cold_seconds = measure_cold(src_wav, dst_wav, script)
+    cold_seconds, cold_split = measure_cold(src_wav, dst_wav, script)
     kernel_parity = run_chip_kernel_check()
     relay_rtt = measure_relay_rtt()
     kernel_shapes = measure_kernel_throughput()
     search_seconds, telemetry, matcher, requests = measure_stages(src_wav, dst_wav, script)
     execute_seconds, wire_seconds, round_gflop = measure_search_execute(matcher, requests)
     patho_seconds, patho_rounds, patho_requests = measure_pathological()
-    season_seconds, _ = measure_season(src_wav, dst_wav, script, episodes=12)
-    season24_seconds, season_split = measure_season(src_wav, dst_wav, script, episodes=24)
-    # marginal cost of an extra episode once the batch is warm — the
-    # honest scale story: the relay RTT and per-process overheads amortize
-    # across the batch, so this is what a large season actually pays
-    season_marginal = max(season24_seconds - season_seconds, 0.0) / 12.0
+    season_seconds, _ = measure_season(episodes=12)
+    season24_seconds, season_split = measure_season(episodes=24)
+    # per-episode cost from the 24-episode run's OWN telemetry (device
+    # fetch+dispatch plus host share of the best attempt) — the previous
+    # (t24 - t12)/12 cross-run subtraction of two noisy best-of-N numbers
+    # was noise-dominated (r3: 0.057, r4 driver: 0.086, r4 local: 0.034
+    # while both underlying times improved) and is retired
+    season_marginal = (
+        season_split.get("device_seconds_per_episode", 0.0)
+        + season_split.get("host_seconds_per_episode", 0.0)
+    )
     log(
-        "bench: season marginal cost %.3fs/episode (12 eps %.2fs -> 24 eps %.2fs)"
+        "bench: season per-episode cost %.3fs (24-ep run telemetry; 12 eps %.2fs, 24 eps %.2fs)"
         % (season_marginal, season_seconds, season24_seconds)
     )
     soak_passed, soak_iterations = run_soak()
@@ -877,6 +1001,7 @@ def main():
         "baseline_cold_ingest_seconds": round(baseline_cold, 3),
         "cold_sync_seconds": round(cold_seconds, 3),
         "cold_vs_baseline": round(baseline_cold / cold_seconds, 2),
+        **cold_split,
         "worst_line_error_seconds": round(worst, 4),
         "search_stage_seconds": round(search_seconds, 3),
         "pathological_sync_seconds": round(patho_seconds, 3),
@@ -886,6 +1011,8 @@ def main():
         "season_episodes_per_minute": round(12 * 60.0 / season_seconds, 1),
         "season_24_episodes_seconds": round(season24_seconds, 3),
         "season_24_episodes_per_minute": round(24 * 60.0 / season24_seconds, 1),
+        # within-run number: device + host per-episode of the best 24-ep
+        # attempt's own telemetry (NOT a cross-run subtraction)
         "season_marginal_seconds_per_episode": round(season_marginal, 4),
         "season_device_seconds_per_episode": season_split.get("device_seconds_per_episode"),
         "season_host_seconds_per_episode": season_split.get("host_seconds_per_episode"),
@@ -907,7 +1034,9 @@ def main():
         "search_kernel_gflop": round(round_gflop, 2),
         "search_kernel_gflops": round(round_gflop / execute_seconds, 1)
         if execute_seconds > 0 else 0.0,
-        "relay_rtt_seconds": round(relay_rtt, 4),
+        "relay_rtt_seconds": round(relay_rtt["median"], 4),
+        "relay_rtt_min_seconds": round(relay_rtt["min"], 4),
+        "relay_rtt_p90_seconds": round(relay_rtt["p90"], 4),
         "device_gathered_gb": telemetry["gathered_gb"],
         # kernel-only microbench at the standard bucket shapes
         "kernel_shapes": kernel_shapes,

@@ -82,6 +82,7 @@ class RoundStats:
 
     requests: int = 0
     host_fallbacks: int = 0
+    pool_gate_retries: int = 0
     dispatch_seconds: float = 0.0
     fetch_seconds: float = 0.0
     # {fft_size: [real_rows, padded_rows, chunks]}
@@ -132,6 +133,7 @@ class Telemetry:
             "rounds": len(self.rounds),
             "requests": total_requests,
             "host_fallbacks": sum(r.host_fallbacks for r in self.rounds),
+            "pool_gate_retries": sum(r.pool_gate_retries for r in self.rounds),
             "dispatch_seconds": round(dispatch, 4),
             "fetch_seconds": round(fetch, 4),
             "kernel_gflop": round(gflop, 3),
@@ -366,8 +368,30 @@ _UPLOAD_MEMO_MAX = _env_int("SUSHI_UPLOAD_MEMO", 64)
 # Mean pooling can also mis-localize flat-basin minima on smooth
 # low-frequency audio (14/40 cv2 mismatches on a random-walk fixture at
 # slack 1), hence the exactness-robust slack of 4 blocks each side.
+#
+# Round 5 measured the SCORE-GATED pooled default at the wide buckets
+# (pooled coarse + exact rescore; rows whose best EXACT score fails a
+# trust threshold re-dispatch full-rate in a follow-up mini-round) and
+# REJECTED it: the gate does catch the garbage/corrupted rows (their
+# noise-argmins score ~1.0), but tools/soak.py still diverged on
+# corrupt/truncated scenarios with shifts off by ~20-66 ms at TRUSTED
+# scores — the round-4 clean-audio aliasing failure (nearest-neighbor
+# downsampled analysis streams alias under mean pooling; the pooled dip
+# lands a few dozen samples off with a score the gate cannot tell from
+# a true match).  Mislocalization is score-invisible, so no trust
+# threshold exists that keeps the pooled speed on clean audio and the
+# reference's exact lag.  Pooling therefore stays OPT-IN
+# (SUSHI_COARSE_POOL=<width>); the gate pass in execute_planned_multi
+# still runs for opt-in pooled rows (SUSHI_POOL_GATE=0 disables), which
+# strictly improves the opt-in mode: garbage spans now reproduce the
+# reference's full-rate noise-argmin instead of a pooled near-miss.
 _COARSE_POOL_MIN_FFT = 1 << 15
 _COARSE_POOL_ENV = _env_int("SUSHI_COARSE_POOL", 0)
+_POOL_GATE = _env_int("SUSHI_POOL_GATE", 1) != 0
+# distrust pooled rows at/above this exact score: a true match on speech
+# audio scores far below it, and rows without one (garbage spans, noise
+# inserts) must reproduce the reference's full-rate argmin exactly
+_POOL_GATE_TRUST = 0.5
 # a pooled pattern needs enough envelope samples for its dip to survive
 # mean pooling; below this many *pooled* pattern samples, stay full-rate
 _COARSE_POOL_MIN_PAT_BLOCKS = 64
@@ -396,6 +420,11 @@ def _coarse_pool_for(fft_size: int, min_pat_len: int) -> Optional[int]:
     if min_pat_len < _COARSE_POOL_MIN_PAT_BLOCKS * pool:
         return None
     return pool
+
+# Cumulative cold-seed seconds (the whole-stream coarse-to-fine alignment
+# estimate, paid only on a cache-miss pair) — bench.py resets this around
+# its cold measurement for the cold decomposition fields.
+SEED_STATS = {"seed_seconds": 0.0}
 
 # {(src cache_key, dst cache_key): whole-stream alignment estimate}
 _DELTA0_MEMO: Dict[Tuple[str, str], int] = {}
@@ -598,6 +627,7 @@ class DeviceMatcher:
 
         import jax.numpy as jnp
 
+        seed_started = time.time()
         coarse = int(
             sqdiff.pooled_alignment_peak(
                 self._src_dev,
@@ -616,6 +646,7 @@ class DeviceMatcher:
                 self._max_batch_elements,
             )
             delta0 = result[refine.key][2] - refine.pat_start
+        SEED_STATS["seed_seconds"] += time.time() - seed_started
 
         if memo_key is not None:
             with _MEMO_LOCK:
@@ -727,6 +758,7 @@ def execute_planned_multi(
     rescore_k: int = 16,
     max_batch_elements: int = _MAX_BATCH_ELEMENTS,
     repeat: int = 1,
+    force_full_rate: bool = False,
 ) -> Dict[object, Tuple[float, float, int]]:
     """Run planned searches as bucketed batched kernel calls.
 
@@ -735,6 +767,14 @@ def execute_planned_multi(
     dispatch burst, ONE device->host fetch.  Results are keyed by each
     item's ``key``.  Chunks pad up to a few batch-size buckets so only a
     handful of (fft_size, batch) shapes ever compile.
+
+    Buckets that ran a POOLED coarse pass (wide windows; see the policy
+    block above :func:`_coarse_pool_for`) get a score-gate pass: rows
+    whose best exact score is untrusted (>= ``_POOL_GATE_TRUST`` — no
+    believable match, the one case pooled coarse can mis-localize) are
+    re-dispatched full-rate in ONE follow-up mini-round before results
+    are returned, so callers always see reference-exact decisions.
+    ``force_full_rate`` is that re-run (pooling disabled, no recursion).
 
     ``repeat`` re-dispatches every chunk N times before the single fetch
     (results are identical; the device queue serializes them), so a bench
@@ -749,6 +789,9 @@ def execute_planned_multi(
     results: Dict[object, Tuple[float, float, int]] = {}
     by_bucket: Dict[Tuple[StreamPair, int], List[PlannedSearch]] = {}
     wide_parents: Dict[object, Tuple[PlannedSearch, List[object]]] = {}
+    # {key: (pair, item)} for rows whose bucket ran a pooled coarse pass —
+    # candidates for the score-gate full-rate re-run
+    pooled_items: Dict[object, Tuple[StreamPair, PlannedSearch]] = {}
     for pair, item in items:
         fft_size = _fft_bucket(item.win_len)
         if fft_size < item.win_len:
@@ -808,7 +851,12 @@ def execute_planned_multi(
             # as the FFT) halves rescore cost for typical line-length
             # patterns inside window-dominated ffts
             pat_cap = min(_fft_bucket(max(r.pat_len for r in rows)), fft_size)
-            coarse_pool = _coarse_pool_for(fft_size, min(r.pat_len for r in chunk))
+            coarse_pool = (
+                None if force_full_rate
+                else _coarse_pool_for(fft_size, min(r.pat_len for r in chunk))
+            )
+            if coarse_pool:
+                pooled_items.update((r.key, (pair, r)) for r in chunk)
             # ONE [4, B] upload per chunk (pat_start/pat_len/win_start/
             # win_len rows): every device_put is a separate transfer op
             # (~1 ms each through a relay), so packing cuts the round's
@@ -862,6 +910,28 @@ def execute_planned_multi(
                 float(all_scores[cursor + i]), float(found_time), item.win_start + lag
             )
         cursor += padded_b
+
+    # score gate: pooled rows without a trusted match re-run full-rate
+    # (exactness on garbage/corrupted spans, where the reference's answer
+    # is a full-rate noise-argmin no pooled neighborhood is sure to hold).
+    # One recursive mini-round; its stats append to TELEMETRY like any
+    # other device round.
+    retry = [
+        pooled_items[key]
+        for key, (score, _, _) in results.items()
+        if key in pooled_items and score >= _POOL_GATE_TRUST
+    ]
+    if retry:
+        stats.pool_gate_retries = len(retry)
+        _log.info(
+            "pool gate: %d/%d pooled rows untrusted; re-running full-rate",
+            len(retry), len(pooled_items),
+        )
+        results.update(
+            execute_planned_multi(
+                retry, rescore_k, max_batch_elements, force_full_rate=True
+            )
+        )
 
     # combine lag-chunk sub-results: min exact score, first (lowest absolute
     # sample) lag on ties — identical semantics to one full-window argmin
@@ -974,7 +1044,7 @@ class ReplayPredictor:
     # batch together; ``finalize`` replays on real results alone.
     _TRUST_SCORE = 0.5
 
-    def observe(self, request: SearchRequest, abs_sample: int, score: float = 0.0) -> None:
+    def observe(self, request: SearchRequest, abs_sample: int, score: float) -> None:
         """Record a real FULL-part result (prefer the widest window)."""
         if request.part != FULL or score >= self._TRUST_SCORE:
             return

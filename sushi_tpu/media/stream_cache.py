@@ -33,6 +33,18 @@ from sushi_tpu.media.stream import AudioStream
 
 _log = logging.getLogger("sushi_tpu")
 
+# Cumulative cold-path stage seconds (decode / device upload / cache read),
+# summed across streams and threads — bench.py resets this around its cold
+# measurement so the artifact can say WHERE a cold sync's time went (the
+# r4 driver-vs-local cold spread was 2.2x with no address for the gap).
+INGEST_STATS = {"decode_seconds": 0.0, "upload_seconds": 0.0, "cache_read_seconds": 0.0}
+
+
+def reset_ingest_stats() -> None:
+    for key in INGEST_STATS:
+        INGEST_STATS[key] = 0.0
+
+
 _FORMAT_VERSION = 1
 # 64 entries keeps a 24-episode season's 48 prepared streams warm on disk
 _MAX_ENTRIES = 64
@@ -225,18 +237,24 @@ def load_stream(
     key = stream_key(path, sample_rate, sample_type) if directory else None
     stream = None
     if directory and key:
+        t0 = time.time()
         cached = _try_read(directory, key)
+        INGEST_STATS["cache_read_seconds"] += time.time() - t0
         if cached is not None:
             _log.info("Loaded prepared stream for %s from cache", path)
             stream = cached
     fresh = stream is None
     if fresh:
+        t0 = time.time()
         stream = AudioStream(path, sample_rate, sample_type, use_native=use_native)
+        INGEST_STATS["decode_seconds"] += time.time() - t0
         stream.cache_key = key
     if upload:
         from sushi_tpu.align.batcher import upload_stream
 
+        t0 = time.time()
         upload_stream(stream)
+        INGEST_STATS["upload_seconds"] += time.time() - t0
     if fresh and directory and key:
         if upload:
             _writer().submit(_write, directory, key, stream)

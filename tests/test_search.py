@@ -473,12 +473,13 @@ def test_malformed_coarse_pool_env_is_ignored(monkeypatch, caplog):
 
 
 def test_coarse_pooling_stays_opt_in(monkeypatch):
-    """Pooling must NEVER engage without SUSHI_COARSE_POOL — a default-on
-    trial at the wide buckets was reverted in round 4 after tools/soak.py
-    caught decision divergence vs the float64 oracle (pooled nomination
-    misses full-rate minima on garbage spans and aliases on the
-    un-lowpassed analysis streams; see the landscape note at
-    batcher._coarse_pool_for).  This pins the revert."""
+    """Pooling must NEVER engage without SUSHI_COARSE_POOL.  Two default-on
+    trials at the wide buckets were measured and reverted: round 4 without
+    a gate (tools/soak.py caught garbage-span divergence), round 5 WITH
+    the score gate (the gate catches garbage rows, but clean-audio
+    aliasing mislocalizes pooled picks by ~20-66 ms at TRUSTED scores —
+    score-invisible, so no threshold fixes it; see the policy block at
+    batcher._coarse_pool_for).  This pins the reject."""
     from sushi_tpu.align import batcher
 
     monkeypatch.setattr(batcher, "_COARSE_POOL_ENV", 0)  # unset default
@@ -487,3 +488,57 @@ def test_coarse_pooling_stays_opt_in(monkeypatch):
     monkeypatch.setattr(batcher, "_COARSE_POOL_ENV", 4)  # explicit opt-in
     assert batcher._coarse_pool_for(1 << 19, 30000) == 4
     assert batcher._coarse_pool_for(1 << 19, 200) is None  # short pattern
+
+
+def test_pool_gate_reruns_untrusted_rows_full_rate(monkeypatch):
+    """The score gate end-to-end at a wide bucket under the OPT-IN pooled
+    mode: a planted pattern is trusted (no re-run; pooled speed), a
+    garbage row (no real match anywhere in its window) fails the trust
+    threshold and must re-run full-rate so its (score, lag) exactly equal
+    the float64 oracle's — the reference's noise-argmin on garbage is NOT
+    pooled-recoverable, which is why the gate hardens the opt-in mode
+    (it could not rescue a pooled DEFAULT: clean-audio aliasing
+    mislocalizes at trusted scores, see test_coarse_pooling_stays_opt_in)."""
+    import jax.numpy as jnp
+
+    from sushi_tpu.align import batcher
+    from sushi_tpu.align.batcher import TELEMETRY, PlannedSearch, execute_planned
+    from sushi_tpu.ops import sqdiff
+
+    monkeypatch.setattr(batcher, "_COARSE_POOL_ENV", 4)
+
+    rng = np.random.RandomState(21)
+    win_len = 200000  # buckets to fft 262144 >= _POOL_GATE_MIN_FFT
+    pat_len = 30000
+    # zero-mean noise: unrelated rows score ~1.0 (a shared DC offset would
+    # drag random-vs-random normalized SSD toward 0.5, muddying the gate)
+    src = rng.randn(300000).astype(np.float32)
+    dst = rng.randn(400000).astype(np.float32)  # garbage: unrelated noise
+    # plant row "hit"'s pattern mid-window so pooled coarse can trust it
+    dst[50000 : 50000 + pat_len] = src[:pat_len]
+
+    planned = [
+        PlannedSearch(key="hit", pat_start=0, pat_len=pat_len, win_start=0,
+                      win_len=win_len, start_time=0.0, sample_rate=12000),
+        PlannedSearch(key="garbage", pat_start=40000, pat_len=pat_len,
+                      win_start=100000, win_len=win_len,
+                      start_time=0.0, sample_rate=12000),
+    ]
+    assert batcher._coarse_pool_for(262144, pat_len) is not None  # fixture sanity
+
+    TELEMETRY.reset()
+    results = execute_planned(jnp.asarray(src), jnp.asarray(dst), planned)
+    summary = TELEMETRY.summary()
+
+    for key, item in (("hit", planned[0]), ("garbage", planned[1])):
+        want_score, want_lag = sqdiff.oracle_match(
+            src[item.pat_start : item.pat_start + item.pat_len],
+            dst[item.win_start : item.win_start + item.win_len],
+        )
+        score, _, abs_sample = results[key]
+        assert abs_sample - item.win_start == want_lag, key
+        assert score == pytest.approx(want_score, abs=1e-5), key
+    assert results["hit"][0] < batcher._POOL_GATE_TRUST  # trusted as planted
+    assert results["garbage"][0] >= batcher._POOL_GATE_TRUST
+    assert summary["pool_gate_retries"] == 1  # only the garbage row re-ran
+    assert summary["rounds"] == 2  # the main round + the gate mini-round
