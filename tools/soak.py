@@ -232,6 +232,14 @@ def main():
     )
     args = parser.parse_args()
 
+    # standalone runs must persist compiles like bench-spawned runs do
+    # (bench injects JAX_COMPILATION_CACHE_DIR; a cold standalone soak
+    # otherwise recompiles every scenario shape — a 12-iteration run was
+    # measured blowing a 10-minute budget on compiles alone)
+    from sushi_tpu.utils import compile_cache
+
+    compile_cache.enable()
+
     logging.basicConfig(level=logging.INFO, format="%(message)s")
     logging.getLogger("sushi_tpu").setLevel(logging.ERROR)
 
