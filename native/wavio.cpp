@@ -118,6 +118,14 @@ void downmix(const uint8_t* raw, int64_t frames, const WavHeader& header, float*
     const int16_t* samples = reinterpret_cast<const int16_t*>(raw);
     if (channels == 1) {
       for (int64_t i = 0; i < frames; ++i) mono[i] = static_cast<float>(samples[i]);
+    } else if (channels == 2) {
+      // stereo int16 is the overwhelmingly common case; the fixed-trip-count
+      // body (sum then /2, bit-identical to the generic accumulate order)
+      // auto-vectorizes where the runtime `channels` inner loop cannot
+      for (int64_t i = 0; i < frames; ++i) {
+        const float acc = static_cast<float>(samples[2 * i]) + static_cast<float>(samples[2 * i + 1]);
+        mono[i] = acc / 2.0f;
+      }
     } else {
       for (int64_t i = 0; i < frames; ++i) {
         float acc = 0.0f;
@@ -153,6 +161,40 @@ void downmix(const uint8_t* raw, int64_t frames, const WavHeader& header, float*
       mono[i] = acc / static_cast<float>(channels);
     }
   }
+}
+
+// single-frame downmix — per-sample arithmetic identical to downmix()
+// (same accumulation order, same divide), so fusing frame selection into
+// the decode changes WHICH frames are decoded, never their values
+inline float downmix_frame(const uint8_t* raw, int64_t i, const WavHeader& header) {
+  const int channels = header.channels;
+  if (header.sample_width == 2) {
+    const int16_t* samples = reinterpret_cast<const int16_t*>(raw) + i * channels;
+    if (channels == 1) return static_cast<float>(samples[0]);
+    float acc = 0.0f;
+    for (int c = 0; c < channels; ++c) acc += static_cast<float>(samples[c]);
+    return acc / static_cast<float>(channels);
+  }
+  if (header.sample_width == 3) {
+    float acc = 0.0f;
+    for (int c = 0; c < channels; ++c) {
+      const uint8_t* sample = raw + (i * channels + c) * 3;
+      const int16_t high = static_cast<int16_t>(
+          static_cast<uint16_t>(sample[1]) | (static_cast<uint16_t>(sample[2]) << 8));
+      acc += static_cast<float>(high);
+    }
+    return acc / static_cast<float>(channels);
+  }
+  if (header.float_samples) {
+    const float* samples = reinterpret_cast<const float*>(raw) + i * channels;
+    float acc = 0.0f;
+    for (int c = 0; c < channels; ++c) acc += samples[c];
+    return acc / static_cast<float>(channels);
+  }
+  const int32_t* samples = reinterpret_cast<const int32_t*>(raw) + i * channels;
+  float acc = 0.0f;
+  for (int c = 0; c < channels; ++c) acc += static_cast<float>(samples[c]);
+  return acc / static_cast<float>(channels);
 }
 
 }  // namespace
@@ -212,7 +254,6 @@ int sushi_wav_load(const char* path, int32_t sample_rate, float* out, int64_t ou
     }
     const int64_t frames = static_cast<int64_t>(bytes) / frame_size;
     if (frames == 0) break;
-    downmix(raw.data(), frames, header, mono.data());
 
     const int64_t new_length = std::llround(static_cast<double>(frames) * rate_ratio);
     if (cursor + new_length > out_capacity) {
@@ -220,8 +261,35 @@ int sushi_wav_load(const char* path, int32_t sample_rate, float* out, int64_t ou
       return -20;
     }
     if (new_length == frames) {
+      downmix(raw.data(), frames, header, mono.data());
       std::memcpy(out + cursor, mono.data(), static_cast<size_t>(frames) * sizeof(float));
+    } else if (new_length < frames) {
+      // downsampling keeps only floor(d*scale) frames — decode just those
+      // instead of downmixing the whole chunk (4x less decode work at the
+      // canonical 48k -> 12k); per-frame arithmetic is downmix()'s exactly
+      const double scale = static_cast<double>(frames) / static_cast<double>(new_length);
+      const int64_t stride = static_cast<int64_t>(scale);
+      if (static_cast<double>(stride) == scale && header.sample_width == 2 &&
+          header.channels == 2) {
+        // canonical case (integral ratio, stereo int16) as one tight loop:
+        // d*scale is integral and < 2^53, so floor(d*scale) == d*stride
+        const int16_t* samples = reinterpret_cast<const int16_t*>(raw.data());
+        for (int64_t d = 0; d < new_length; ++d) {
+          const int16_t* frame = samples + 2 * d * stride;
+          out[cursor + d] =
+              (static_cast<float>(frame[0]) + static_cast<float>(frame[1])) / 2.0f;
+        }
+      } else {
+        for (int64_t d = 0; d < new_length; ++d) {
+          int64_t s = static_cast<int64_t>(std::floor(d * scale));
+          if (s > frames - 1) s = frames - 1;
+          out[cursor + d] = downmix_frame(raw.data(), s, header);
+        }
+      }
     } else {
+      // upsampling (analysis rate above source rate): output indices repeat,
+      // so the bulk downmix stays cheaper than per-output decode
+      downmix(raw.data(), frames, header, mono.data());
       const double scale = static_cast<double>(frames) / static_cast<double>(new_length);
       for (int64_t d = 0; d < new_length; ++d) {
         int64_t s = static_cast<int64_t>(std::floor(d * scale));

@@ -36,6 +36,7 @@ SHAPES = [
     (131072, 128),
     (196608, 128),
     (262144, 128),
+    (393216, 128),
     (524288, 128),
 ]
 
