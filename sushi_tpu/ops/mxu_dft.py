@@ -20,11 +20,13 @@ order mid-stream; the inverse is built to consume the permuted layout and
 emit natural-order rows — the same trick as decimation-in-frequency
 convolution pipelines, zero transposes end to end.
 
-The packed-pair framing matches :func:`sqdiff._correlate_rows`: one
-transform of ``w + 1j*p`` carries both real rows' spectra (split by
-conjugate symmetry), and two rows' real correlations ride one inverse in
-its real/imag planes — so the MXU path is a drop-in replacement for the
-packed-FFT formulation, same [B, n] float32 out.
+The packed framing matches :func:`sqdiff._correlate_rows`: one transform
+of ``w + 1j*p`` carries both real rows' spectra of the SAME row (split by
+conjugate symmetry), and the real correlation comes back as the row-local
+inverse's real plane — so the MXU path is a drop-in replacement for the
+packed-FFT formulation, same [B, n] float32 out.  Everything stays
+row-LOCAL (no cross-row packing): see the batch-invariance note in
+``correlate_packed``.
 
 Measured on the v5e (tools/mxu_fft_probe.py, 64x98304): packed FFT
 2.92 ms, hybrid n1=128 HIGH 1.58 ms (rel-err ~1.2e-5 vs the classic rfft
@@ -200,12 +202,16 @@ def correlate_packed(
     wi = 0.5 * (zi - ri)
     pr = 0.5 * (zi + ri)
     pi = -0.5 * (zr - rr)
-    # product spectrum W * conj(P) — conjugate-symmetric per row, so two
-    # rows' real inverses ride one transform in its real/imag planes
+    # product spectrum W * conj(P) — conjugate-symmetric per row, so the
+    # inverse is real; run it row-LOCAL (full batch, real plane out).
+    # An earlier variant packed two rows' inverses into one transform's
+    # real/imag planes; the partner-dependent rounding broke
+    # batch-invariance and flipped plateau decisions between the batched
+    # and sequential drives (round-5 soak 98/100, SOAK_r05.json first
+    # record).  The row-local inverse costs +0.23 ms at 64x98304
+    # (tools/rowlocal_probe.py: paired 1.41 -> local 1.64 ms) and keeps
+    # every row's scores a function of that row alone.
     prod_r = wr * pr + wi * pi
     prod_i = wi * pr - wr * pi
-    half = batch // 2
-    out_r, out_i = _inverse(
-        prod_r[:half] - prod_i[half:], prod_i[:half] + prod_r[half:], plan
-    )
-    return jnp.concatenate([out_r, out_i], axis=0)
+    out_r, _ = _inverse(prod_r, prod_i, plan)
+    return out_r

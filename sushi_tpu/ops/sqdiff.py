@@ -210,20 +210,30 @@ def _correlate_rows(
       carries BOTH rows' spectra (split by conjugate symmetry:
       ``W = (Z + conj(Z~))/2``, ``P = -i(Z - conj(Z~))/2`` where
       ``Z~[k] = Z[(n-k) mod n]``), and because each row's product
-      spectrum is conjugate-symmetric (the correlation is real), TWO
-      rows' inverses ride ONE c2c in its real/imag planes.  Net: 1 c2c
-      forward per row + 1 c2c inverse per row PAIR — 1.5 c2c vs 3 r2c.
-      Measured on a v5e (tools/ifft_probe.py): 1.21x at [64, 98304],
-      2.88x at [128, 131072], 1.35x at [128, 524288]; packed-vs-classic
-      rel-err ~1.4e-6 — the same order as the classic path's own FFT
-      noise, inside the plateau tie bands' design tolerance (see
-      :func:`_blockwise_candidates`), and decisions come from the exact
-      rescore either way.  Pairing is by contiguous half-split (row i
-      with row B/2+i): no sublane interleave on the way in, one
-      concatenate on the way out.
+      spectrum is conjugate-symmetric (the correlation is real), the
+      inverse rides ONE half-length c2c per row via the even/odd split:
+      for conj-symmetric ``P`` with real inverse ``x``,
+      ``E=(P[:n/2]+P[n/2:])/2``, ``O=(P[:n/2]-P[n/2:])/2 * W_n^{+k}``,
+      ``z=IDFT_{n/2}(E+iO)`` gives ``x[2m]=Re z[m], x[2m+1]=Im z[m]``.
+      Net: 1 c2c forward + 0.5 c2c inverse per row (+O(n) elementwise)
+      vs 3 r2c.  Measured on a v5e (tools/rowlocal_probe.py): classic
+      3.84 -> 2.58 ms at [64, 98304], 12.05 -> 8.48 at [128, 131072];
+      rel-err ~2.4e-6 vs classic — the plateau tie bands' design
+      tolerance (see :func:`_blockwise_candidates`), and decisions come
+      from the exact rescore either way.
+
+    Every formulation here is row-LOCAL: a row's scores are a function
+    of that row's data only, never of its batch neighbors.  An earlier
+    packed variant paired two DIFFERENT rows into one inverse c2c
+    (row i in the real plane, row B/2+i imag); the partner-dependent
+    rounding broke batch-invariance — the speculative-replay batch and a
+    sequential drive of the same kernel committed different decisions on
+    garbage plateaus (round-5 soak, 98/100, SOAK_r05.json first record).
+    Batch-invariance is a hard contract of the search; do not reintroduce
+    cross-row packing.
     """
     batch = patterns.shape[0]
-    if batch < 2 or batch % 2 or not _PACKED_FFT:
+    if batch < 2 or batch % 2 or fft_size % 2 or not _PACKED_FFT:
         pat_f = jnp.fft.rfft(patterns, n=fft_size)
         win_f = jnp.fft.rfft(windows, n=fft_size)
         return jnp.fft.irfft(win_f * jnp.conj(pat_f), n=fft_size)
@@ -246,9 +256,14 @@ def _correlate_rows(
     win_f = 0.5 * (z + jnp.conj(z_rev))
     pat_f = -0.5j * (z - jnp.conj(z_rev))
     prod = win_f * jnp.conj(pat_f)  # conjugate-symmetric per row
-    half = batch // 2
-    pair = jnp.fft.ifft(prod[:half] + 1j * prod[half:], n=fft_size)
-    return jnp.concatenate([pair.real, pair.imag], axis=0)
+    # row-local half-length inverse (even/odd split, see docstring)
+    half = fft_size // 2
+    even = 0.5 * (prod[:, :half] + prod[:, half:])
+    k = jnp.arange(half)
+    twiddle = jnp.exp(2j * np.pi * k / fft_size).astype(jnp.complex64)
+    odd = 0.5 * (prod[:, :half] - prod[:, half:]) * twiddle[None]
+    pair = jnp.fft.ifft(even + 1j * odd, n=half)
+    return jnp.stack([pair.real, pair.imag], axis=-1).reshape(batch, fft_size)
 
 
 def coarse_scores(

@@ -364,10 +364,11 @@ def test_padded_batch_shapes_bounded_for_any_device_count():
 
 
 def test_packed_correlation_matches_classic():
-    """The pair-packed c2c correlation (1 c2c/row + 1 c2c/pair) must match
-    the textbook 2-rfft + 1-irfft formulation to FFT noise for even
-    batches, and odd batches must take the classic path bit-exactly —
-    including rows narrower than fft_size (implicit zero padding)."""
+    """The packed c2c correlation (1 c2c forward + half-length row-local
+    inverse) must match the textbook 2-rfft + 1-irfft formulation to FFT
+    noise for even batches, and odd batches must take the classic path
+    bit-exactly — including rows narrower than fft_size (implicit zero
+    padding)."""
     from sushi_tpu.ops.sqdiff import _correlate_rows
 
     rng = np.random.RandomState(11)
@@ -406,3 +407,40 @@ def test_packed_correlation_env_gate(monkeypatch):
         jnp.fft.rfft(wins, n=1024) * jnp.conj(jnp.fft.rfft(pats, n=1024)), n=1024
     ))
     np.testing.assert_array_equal(gated, ref)
+
+
+def test_correlation_is_row_local_for_every_path(monkeypatch):
+    """A row's correlation must be bit-identical whatever its batch
+    NEIGHBORS are — for the packed path and the MXU four-step path.
+
+    This is the batch-invariance contract the round-5 soak enforced the
+    hard way (98/100, SOAK_r05.json first record): an earlier packed
+    formulation paired two different rows into one inverse transform, so
+    a row's rounding depended on its partner — and the speculative-replay
+    batch committed different plateau decisions than a sequential drive
+    of the same kernel.  Any future formulation that mixes rows will fail
+    here before it reaches the chip soak.
+    """
+    import jax
+
+    from sushi_tpu.ops import mxu_dft
+    from sushi_tpu.ops.sqdiff import _correlate_rows
+
+    rng = np.random.RandomState(13)
+    n, batch = 1536, 4
+    pats = rng.randn(batch, n).astype(np.float32)
+    wins = rng.randn(batch, n).astype(np.float32)
+    alt_pats = np.concatenate([pats[:1], rng.rand(batch - 1, n).astype(np.float32) * 40.0])
+    alt_wins = np.concatenate([wins[:1], rng.rand(batch - 1, n).astype(np.float32) * 40.0])
+
+    # packed path (row-local half-c2r inverse)
+    a = np.asarray(_correlate_rows(jnp.asarray(pats), jnp.asarray(wins), n))[0]
+    b = np.asarray(_correlate_rows(jnp.asarray(alt_pats), jnp.asarray(alt_wins), n))[0]
+    np.testing.assert_array_equal(a, b)
+
+    # MXU four-step path (forced via an explicit plan — plan_for gates it
+    # to TPU + large buckets, but the algebra must be row-local everywhere)
+    plan = mxu_dft.Plan(128, n // 128, jax.lax.Precision.HIGHEST)
+    a = np.asarray(mxu_dft.correlate_packed(jnp.asarray(pats), jnp.asarray(wins), n, plan))[0]
+    b = np.asarray(mxu_dft.correlate_packed(jnp.asarray(alt_pats), jnp.asarray(alt_wins), n, plan))[0]
+    np.testing.assert_array_equal(a, b)
