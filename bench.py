@@ -400,8 +400,9 @@ def measure_cold(src_wav, dst_wav, script, attempts=2):
         ingest = dict(stream_cache.INGEST_STATS)
         search = TELEMETRY.summary()
         # decode+upload run on two overlapped threads, so their SUM can
-        # exceed the wall clock they occupy — they are addresses, not a
-        # partition; "other" closes the balance vs the wall clock
+        # exceed the wall clock they occupy — these fields are ADDRESSES
+        # (where did time go), deliberately NOT a partition of the wall
+        # clock; no residual field can close the balance under overlap
         split = {
             "cold_decode_seconds": round(ingest["decode_seconds"], 3),
             "cold_upload_seconds": round(ingest["upload_seconds"], 3),
@@ -971,18 +972,20 @@ def main():
     patho_seconds, patho_rounds, patho_requests = measure_pathological()
     season_seconds, _ = measure_season(episodes=12)
     season24_seconds, season_split = measure_season(episodes=24)
-    # per-episode cost from the 24-episode run's OWN telemetry (device
-    # fetch+dispatch plus host share of the best attempt) — the previous
-    # (t24 - t12)/12 cross-run subtraction of two noisy best-of-N numbers
-    # was noise-dominated (r3: 0.057, r4 driver: 0.086, r4 local: 0.034
-    # while both underlying times improved) and is retired
-    season_marginal = (
+    # per-episode cost = the 24-episode run's own MEAN (device + host
+    # shares sum to t24/24 by construction — an honest mean, not a
+    # marginal).  The previous (t24 - t12)/12 "marginal" cross-run
+    # subtraction of two noisy best-of-N numbers was noise-dominated
+    # (r3: 0.057, r4 driver: 0.086, r4 local: 0.034 while both underlying
+    # times improved) and is retired; the informative part of the
+    # decomposition is the device/host SPLIT, not the sum
+    season_per_episode = (
         season_split.get("device_seconds_per_episode", 0.0)
         + season_split.get("host_seconds_per_episode", 0.0)
     )
     log(
-        "bench: season per-episode cost %.3fs (24-ep run telemetry; 12 eps %.2fs, 24 eps %.2fs)"
-        % (season_marginal, season_seconds, season24_seconds)
+        "bench: season per-episode mean %.3fs (24-ep run telemetry; 12 eps %.2fs, 24 eps %.2fs)"
+        % (season_per_episode, season_seconds, season24_seconds)
     )
     soak_passed, soak_iterations = run_soak()
     season_soak_passed, season_soak_iterations = run_season_soak()
@@ -1011,9 +1014,10 @@ def main():
         "season_episodes_per_minute": round(12 * 60.0 / season_seconds, 1),
         "season_24_episodes_seconds": round(season24_seconds, 3),
         "season_24_episodes_per_minute": round(24 * 60.0 / season24_seconds, 1),
-        # within-run number: device + host per-episode of the best 24-ep
-        # attempt's own telemetry (NOT a cross-run subtraction)
-        "season_marginal_seconds_per_episode": round(season_marginal, 4),
+        # within-run number: the best 24-ep attempt's own mean per-episode
+        # cost (device + host shares; NOT a cross-run subtraction, and
+        # deliberately not called "marginal" — it is t24/24)
+        "season_seconds_per_episode": round(season_per_episode, 4),
         "season_device_seconds_per_episode": season_split.get("device_seconds_per_episode"),
         "season_host_seconds_per_episode": season_split.get("host_seconds_per_episode"),
         "regression_passed": regression_passed,

@@ -920,7 +920,7 @@ def execute_planned_multi(
         pooled_items[key]
         for key, (score, _, _) in results.items()
         if key in pooled_items and score >= _POOL_GATE_TRUST
-    ]
+    ] if _POOL_GATE else []
     if retry:
         stats.pool_gate_retries = len(retry)
         _log.info(
@@ -929,7 +929,8 @@ def execute_planned_multi(
         )
         results.update(
             execute_planned_multi(
-                retry, rescore_k, max_batch_elements, force_full_rate=True
+                retry, rescore_k, max_batch_elements,
+                repeat=repeat, force_full_rate=True,
             )
         )
 

@@ -23,6 +23,7 @@ import json
 import logging
 import os
 import tempfile
+import threading
 import time
 from concurrent.futures import ThreadPoolExecutor
 from typing import Optional, Tuple
@@ -38,11 +39,21 @@ _log = logging.getLogger("sushi_tpu")
 # measurement so the artifact can say WHERE a cold sync's time went (the
 # r4 driver-vs-local cold spread was 2.2x with no address for the gap).
 INGEST_STATS = {"decode_seconds": 0.0, "upload_seconds": 0.0, "cache_read_seconds": 0.0}
+# pair loads run on overlapped threads (and season ingest on a thread pool);
+# a bare ``dict[k] += v`` is a read-modify-write the GIL can split, silently
+# dropping one thread's stage time from the artifact
+_STATS_LOCK = threading.Lock()
+
+
+def _add_stat(key: str, seconds: float) -> None:
+    with _STATS_LOCK:
+        INGEST_STATS[key] += seconds
 
 
 def reset_ingest_stats() -> None:
-    for key in INGEST_STATS:
-        INGEST_STATS[key] = 0.0
+    with _STATS_LOCK:
+        for key in INGEST_STATS:
+            INGEST_STATS[key] = 0.0
 
 
 _FORMAT_VERSION = 1
@@ -239,7 +250,7 @@ def load_stream(
     if directory and key:
         t0 = time.time()
         cached = _try_read(directory, key)
-        INGEST_STATS["cache_read_seconds"] += time.time() - t0
+        _add_stat("cache_read_seconds", time.time() - t0)
         if cached is not None:
             _log.info("Loaded prepared stream for %s from cache", path)
             stream = cached
@@ -247,14 +258,14 @@ def load_stream(
     if fresh:
         t0 = time.time()
         stream = AudioStream(path, sample_rate, sample_type, use_native=use_native)
-        INGEST_STATS["decode_seconds"] += time.time() - t0
+        _add_stat("decode_seconds", time.time() - t0)
         stream.cache_key = key
     if upload:
         from sushi_tpu.align.batcher import upload_stream
 
         t0 = time.time()
         upload_stream(stream)
-        INGEST_STATS["upload_seconds"] += time.time() - t0
+        _add_stat("upload_seconds", time.time() - t0)
     if fresh and directory and key:
         if upload:
             _writer().submit(_write, directory, key, stream)

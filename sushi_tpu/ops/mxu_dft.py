@@ -85,11 +85,13 @@ def plan_for(fft_size: int, batch: int) -> Optional[Plan]:
     Requirements: TPU backend (the win is the systolic array; on CPU the
     einsum stages are strictly slower than the packed FFT and tests pin
     CPU numerics to it — unit tests call :func:`correlate_packed` with an
-    explicit Plan instead), even batch >= 2 (the packed pairing),
-    fft_size a multiple of n1=128 with n2 >= 16 sublane-friendly columns,
-    and the bucket large enough that the matmul stage pays (``_MIN_FFT``).
+    explicit Plan instead), fft_size a multiple of n1=128 with n2 >= 16
+    sublane-friendly columns, and the bucket large enough that the matmul
+    stage pays (``_MIN_FFT``).  (The formulation is row-local — each row
+    packs its OWN w + 1j*p — so any batch >= 1 qualifies; production
+    batches are bucket-padded to 64/128 regardless.)
     """
-    if not _MXU_FFT or batch < 2 or batch % 2:
+    if not _MXU_FFT or batch < 1:
         return None
     if jax.default_backend() != "tpu":
         return None
@@ -169,10 +171,15 @@ def _rev_index(zr, zi, n1: int, n2: int):
     a_i = jnp.roll(jnp.flip(zi, axis=1), 1, axis=1)
     b_r = jnp.flip(a_r, axis=2)  # k2 -> n2-1-k2
     b_i = jnp.flip(a_i, axis=2)
-    c_r = jnp.roll(b_r, 1, axis=2)  # k2 -> (n2-k2) % n2
-    c_i = jnp.roll(b_i, 1, axis=2)
-    k1 = jnp.arange(n1)[None, :, None]
-    return jnp.where(k1 == 0, c_r, b_r), jnp.where(k1 == 0, c_i, b_i)
+    # the (n2-k2) % n2 variant applies ONLY at k1 == 0; roll just that
+    # [B, 1, n2] row instead of the whole tensor (this stage is
+    # bandwidth-bound elementwise data movement on [B, n] planes)
+    row0_r = jnp.roll(b_r[:, :1], 1, axis=2)  # k2 -> (n2-k2) % n2
+    row0_i = jnp.roll(b_i[:, :1], 1, axis=2)
+    return (
+        jnp.concatenate([row0_r, b_r[:, 1:]], axis=1),
+        jnp.concatenate([row0_i, b_i[:, 1:]], axis=1),
+    )
 
 
 def correlate_packed(
@@ -185,9 +192,8 @@ def correlate_packed(
     Rows narrower than ``fft_size`` are zero-extended (the FFT paths pad
     implicitly via ``n=``; the matmul stage needs explicit width).
     """
-    batch = patterns.shape[0]
     n1, n2, _ = plan
-    assert n1 * n2 == fft_size and batch >= 2 and batch % 2 == 0
+    assert n1 * n2 == fft_size
 
     def widen(rows):
         if rows.shape[1] == fft_size:

@@ -233,7 +233,10 @@ def _correlate_rows(
     cross-row packing.
     """
     batch = patterns.shape[0]
-    if batch < 2 or batch % 2 or fft_size % 2 or not _PACKED_FFT:
+    # the packed form is row-local (each row packs its OWN w + 1j*p), so
+    # any batch qualifies; only an odd fft_size (no production bucket is)
+    # blocks the even/odd half-length inverse
+    if fft_size % 2 or not _PACKED_FFT:
         pat_f = jnp.fft.rfft(patterns, n=fft_size)
         win_f = jnp.fft.rfft(windows, n=fft_size)
         return jnp.fft.irfft(win_f * jnp.conj(pat_f), n=fft_size)

@@ -75,8 +75,10 @@ def test_plan_for_declines_unsupported_shapes(monkeypatch):
     monkeypatch.setattr(mxu_dft, "_MIN_FFT", 4096)
     monkeypatch.setattr(mxu_dft, "_REQUIRE_3SMOOTH", False)
     assert plan_for(4096, 64) is not None
-    assert plan_for(4096, 3) is None  # odd batch: no packed pairing
-    assert plan_for(4096, 1) is None
+    # row-local formulation: any batch >= 1 qualifies (the pre-row-local
+    # pairing needed even batches; that constraint died with it)
+    assert plan_for(4096, 3) is not None
+    assert plan_for(4096, 1) is not None
     assert plan_for(4100, 64) is None  # not a multiple of 128
     assert plan_for(1024, 64) is None  # n2 < 16
     monkeypatch.setattr(mxu_dft, "_REQUIRE_3SMOOTH", True)

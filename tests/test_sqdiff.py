@@ -366,9 +366,9 @@ def test_padded_batch_shapes_bounded_for_any_device_count():
 def test_packed_correlation_matches_classic():
     """The packed c2c correlation (1 c2c forward + half-length row-local
     inverse) must match the textbook 2-rfft + 1-irfft formulation to FFT
-    noise for even batches, and odd batches must take the classic path
-    bit-exactly — including rows narrower than fft_size (implicit zero
-    padding)."""
+    noise for ANY batch size (the row-local form needs no pairing, so odd
+    and single-row batches take it too) — including rows narrower than
+    fft_size (implicit zero padding)."""
     from sushi_tpu.ops.sqdiff import _correlate_rows
 
     rng = np.random.RandomState(11)
@@ -385,10 +385,7 @@ def test_packed_correlation_matches_classic():
         ref = classic(jnp.asarray(pats), jnp.asarray(wins), n)
         assert got.shape == ref.shape == (batch, n)
         scale = max(float(np.max(np.abs(ref))), 1e-9)
-        if batch < 2 or batch % 2:
-            np.testing.assert_array_equal(got, ref)  # classic path verbatim
-        else:
-            np.testing.assert_allclose(got, ref, rtol=0, atol=5e-5 * scale)
+        np.testing.assert_allclose(got, ref, rtol=0, atol=5e-5 * scale)
 
 
 def test_packed_correlation_env_gate(monkeypatch):

@@ -34,17 +34,24 @@ from sushi_tpu.ops import sqdiff
 from sushi_tpu.utils import compile_cache
 
 
+# the production four-step pieces — imported, not re-derived, so the
+# probe always measures the SAME math production runs (mxu_dft's cached
+# factories return np planes; wrap to jnp at use sites like production)
+from sushi_tpu.ops.mxu_dft import _rev_index  # noqa: E402
+
+
 def _dft_mats(m: int, sign: float):
-    k = np.arange(m)
-    w = np.exp(sign * 2j * np.pi * np.outer(k, k) / m)
-    return jnp.asarray(w.real.astype(np.float32)), jnp.asarray(w.imag.astype(np.float32))
+    from sushi_tpu.ops import mxu_dft
+
+    fr, fi = mxu_dft._dft_mats(m, sign)
+    return jnp.asarray(fr), jnp.asarray(fi)
 
 
 def _twiddle(n1: int, n2: int, sign: float):
-    i2 = np.arange(n2)
-    k1 = np.arange(n1)
-    w = np.exp(sign * 2j * np.pi * np.outer(k1, i2) / (n1 * n2))
-    return jnp.asarray(w.real.astype(np.float32)), jnp.asarray(w.imag.astype(np.float32))
+    from sushi_tpu.ops import mxu_dft
+
+    tr, ti = mxu_dft._twiddle(n1, n2, sign)
+    return jnp.asarray(tr), jnp.asarray(ti)
 
 
 def _cmatmul_axis0(fr, fi, xr, xi, precision):
@@ -111,20 +118,6 @@ def hybrid_inverse(zr, zi, n1, n2, precision):
     dr, di = _cmatmul_axis0(fr, fi, cr, ci, precision)
     scale = 1.0 / n1
     return (dr * scale).reshape(b, n1 * n2), (di * scale).reshape(b, n1 * n2)
-
-
-def _rev_index(zr, zi, n1, n2):
-    """Z[(n-k) mod n] in the [k1, k2] layout (k = k1 + n1*k2)."""
-    a_r = jnp.flip(zr, axis=1)
-    a_i = jnp.flip(zi, axis=1)
-    a_r = jnp.roll(a_r, 1, axis=1)  # (n1 - k1) % n1
-    a_i = jnp.roll(a_i, 1, axis=1)
-    b_r = jnp.flip(a_r, axis=2)  # n2 - 1 - k2
-    b_i = jnp.flip(a_i, axis=2)
-    c_r = jnp.roll(b_r, 1, axis=2)  # (n2 - k2) % n2
-    c_i = jnp.roll(b_i, 1, axis=2)
-    k1 = jnp.arange(n1)[None, :, None]
-    return jnp.where(k1 == 0, c_r, b_r), jnp.where(k1 == 0, c_i, b_i)
 
 
 def correlate_mxu(patterns, windows, n1, n2, precision, forward, inverse):
