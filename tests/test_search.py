@@ -542,3 +542,36 @@ def test_pool_gate_reruns_untrusted_rows_full_rate(monkeypatch):
     assert results["garbage"][0] >= batcher._POOL_GATE_TRUST
     assert summary["pool_gate_retries"] == 1  # only the garbage row re-ran
     assert summary["rounds"] == 2  # the main round + the gate mini-round
+
+
+def test_pool_gate_kill_switch_skips_retry(monkeypatch):
+    """SUSHI_POOL_GATE=0 (module constant ``_POOL_GATE``, process-start
+    semantics like every kernel gate) must SKIP the score-gate mini-round
+    entirely: one device round, zero retries, and the garbage row keeps
+    its pooled (possibly mislocalized) result — the documented contract
+    for reproducing pre-gate behavior under opt-in pooling."""
+    import jax.numpy as jnp
+
+    from sushi_tpu.align import batcher
+    from sushi_tpu.align.batcher import TELEMETRY, PlannedSearch, execute_planned
+
+    monkeypatch.setattr(batcher, "_COARSE_POOL_ENV", 4)
+    monkeypatch.setattr(batcher, "_POOL_GATE", False)
+
+    rng = np.random.RandomState(21)
+    win_len = 200000
+    pat_len = 30000
+    src = rng.randn(300000).astype(np.float32)
+    dst = rng.randn(400000).astype(np.float32)  # garbage: unrelated noise
+
+    planned = [
+        PlannedSearch(key="garbage", pat_start=40000, pat_len=pat_len,
+                      win_start=100000, win_len=win_len,
+                      start_time=0.0, sample_rate=12000),
+    ]
+    TELEMETRY.reset()
+    results = execute_planned(jnp.asarray(src), jnp.asarray(dst), planned)
+    summary = TELEMETRY.summary()
+    assert results["garbage"][0] >= batcher._POOL_GATE_TRUST  # untrusted...
+    assert summary["pool_gate_retries"] == 0  # ...but the gate is off
+    assert summary["rounds"] == 1
