@@ -469,10 +469,11 @@ def measure_season(episodes=12):
     # best-of-N: the first call absorbs cold stream-cache ingest for all
     # episodes, the second the per-process executable warmup; the best
     # reflects steady-state serving.  Larger seasons get extra attempts —
-    # their bigger merged rounds warm more executable shapes, and at 24
-    # episodes attempts 1-3 were measured still descending (2.55 → 2.35
-    # → 2.09 → 1.60 s; the 1.60 s floor is exactly the 12-episode
-    # per-episode rate, i.e. throughput is linear once warm).
+    # their bigger merged rounds warm more executable shapes and were
+    # measured still descending at attempt 3 (pre-r5 hardlink fixtures:
+    # 2.55 → 2.35 → 2.09 → 1.60 s; the r5 VARIED fixtures show the same
+    # pattern, e.g. 89.6 → 4.7 → 3.6 → 3.2 s with a cold-compile first
+    # attempt).
     from sushi_tpu.align.batcher import TELEMETRY
 
     elapsed = float("inf")
