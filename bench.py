@@ -545,14 +545,23 @@ _V5E_PEAK_BF16_GFLOPS = 197_000.0
 _V5E_PEAK_HBM_GBPS = 819.0
 
 
-def measure_kernel_throughput():
+def measure_kernel_throughput(prior=None):
     """Device-only kernel throughput at the standard bucket shapes.
 
     Amortized over many queue-serialized dispatches with ONE final fetch,
     so relay wire latency divides out: ``elapsed ≈ N*execute + wire``.
     Reports searches/s, model GFLOP/s (vs the chip's bf16 peak) and the
     gather-traffic GB/s (vs HBM peak) — the honest denominators for any
-    kernel-optimization claim.  Returns the per-shape dicts."""
+    kernel-optimization claim.  Returns the per-shape dicts.
+
+    ``prior``: per-shape dicts from an earlier call this run, min-merged
+    (numerator AND denominator).  The relay-fronted chip drifts between
+    multi-minute slow/fast states (the same full-kernel dispatch measured
+    3.99 ms and 4.92 ms forty minutes apart, same process-fresh
+    conditions), so back-to-back repeats all land in ONE state; sampling
+    again ~20 bench-minutes later and taking the min is the same
+    "contention only ever ADDS time" discipline applied across states.
+    The second pass reuses the warm executables, so it costs seconds."""
     import numpy as np
     import jax.numpy as jnp
 
@@ -624,6 +633,12 @@ def measure_kernel_throughput():
             t0 = time.time()
             cv2.matchTemplate(win_np, pat_np, cv2.TM_SQDIFF_NORMED)
             cv2_per_search = min(cv2_per_search, time.time() - t0)
+
+        if prior is not None:
+            for entry in prior:
+                if entry["fft_size"] == fft_size and entry["batch"] == batch:
+                    execute = min(execute, entry["execute_ms"] / 1e3)
+                    cv2_per_search = min(cv2_per_search, entry["cv2_ms_per_search"] / 1e3)
 
         gflop = batch * kernel_flop_model(fft_size, pat_cap, coarse_pool=coarse_pool or 1) / 1e9
         gathered_gb = batch * fft_size * 2 * 4 / 1e9
@@ -992,6 +1007,11 @@ def main():
     season_soak_passed, season_soak_iterations = run_season_soak()
     regression_passed, regression_seconds = run_regression()
     baseline_cold, baseline_warm = measure_baseline(src_wav, dst_wav, script)
+    # second kernel sample ~20 bench-minutes after the first, min-merged:
+    # the chip's multi-minute slow/fast drift states can't both cover the
+    # whole run, and the warm executables make this pass cost seconds
+    log("bench: kernel-throughput re-sweep (late chip state, min-merged)")
+    kernel_shapes = measure_kernel_throughput(prior=kernel_shapes)
 
     best_kernel = max(kernel_shapes, key=lambda s: s["gflops"]) if kernel_shapes else {}
     result = {
